@@ -1,0 +1,377 @@
+"""Unified FIR / decimation / polyphase-resampling engine.
+
+This is the TPU-native replacement for the reference's entire kernel layer
+(c_sources/filter.c, c_sources/decimate.c, c_sources/resample.c and their
+Haskell fallbacks in hs_sources/SDR/FilterInternal.hs).  All three operator
+families are instances of ONE formulation — a strided sliding dot product
+with a per-output coefficient-phase:
+
+    y[m] = sum_k  T[o_m, k] * x[i_m + k]
+
+where for
+  * filter    (filter.c:16   ``filterRR``):   i_m = m,       o_m = 0
+  * decimate  (decimate.c:16 ``decimateRR``): i_m = m*D,     o_m = 0
+  * resample  (resample.c:16 ``resampleRR``): closed form below.
+
+The reference computes the resampler's input/phase positions with a
+sequential recurrence (FilterInternal.hs:252-265):
+
+    (q, r) = divmod(D - o - 1, I);  i += q + 1;  o' = I - 1 - r
+
+We instead use the closed form (derived by introducing t_m = i_m*I - o_m,
+which the recurrence advances by exactly D per output):
+
+    t_m = m*D - o_0
+    o_m = (-t_m) mod I          (coefficient phase, in [0, I))
+    i_m = (t_m + o_m) // I      (= ceil(t_m / I), first input index)
+    y[m] = sum_k  taps[o_m + k*I] * x[i_m + k]
+
+This is what makes the operator TPU-native: every output's read position and
+phase is a static function of m, so blocks compile to static gathers +
+matmuls (no sequential scan), and shard-start phases on a device mesh are
+computable without serialization.
+
+MXU mapping: outputs are tiled [P, LANE]; the sliding window becomes a
+banded-matrix matmul  X[P, M] @ B[M, LANE]  with  B[m, q] = taps[m - q*f]
+(zero outside the band), which XLA tiles onto the systolic array.  Strided
+(decimating) reads use a polyphase input split first so the band stays
+dense.  Complex samples with real taps (the RC kernel variants,
+filter.c:74) are handled by viewing complex as a [2, N] real batch.
+
+Numerical contract: float32 in, float32 accumulate, identical summation
+*results* to the reference within its own cross-implementation test bound of
+0.01 absolute (tests/TestSuite.hs:284-289).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "FirSpec",
+    "fir_filter",
+    "fir_decimate",
+    "fir_resample",
+    "resample_output_count",
+    "resample_end_offset",
+    "prepare_phase_table",
+]
+
+LANE = 128  # TPU lane width: output tile size for the banded-matmul path.
+
+
+# ---------------------------------------------------------------------------
+# Static planning helpers (host-side numpy, analog of FilterInternal.hs
+# prepareCoeffs:290-319 — polyphase group table construction).
+# ---------------------------------------------------------------------------
+
+def prepare_phase_table(taps: np.ndarray, interpolation: int) -> np.ndarray:
+    """Polyphase coefficient table  T[o, k] = taps[o + k*I]  (zero padded).
+
+    Row ``o`` holds the coefficient subset used by outputs with phase ``o``.
+    Equivalent to the strided groups the reference builds host-side in
+    ``prepareCoeffs`` (FilterInternal.hs:297-319), but always with all I
+    rows (the reference only materializes the phases its recurrence visits;
+    indexing by the closed-form phase makes the distinction irrelevant).
+    """
+    taps = np.asarray(taps, dtype=np.float32)
+    K = taps.shape[0]
+    I = int(interpolation)
+    Kp = -(-K // I)  # ceil: max taps per phase
+    table = np.zeros((I, Kp), dtype=np.float32)
+    for o in range(I):
+        row = taps[o::I]
+        table[o, : row.shape[0]] = row
+    return table
+
+
+def _resample_positions(num: int, interpolation: int, decimation: int,
+                        offset: int) -> tuple[np.ndarray, np.ndarray]:
+    """Closed-form (i_m, o_m) for outputs m in [0, num)."""
+    m = np.arange(num, dtype=np.int64)
+    t = m * decimation - offset
+    o = (-t) % interpolation
+    i = (t + o) // interpolation
+    return i.astype(np.int32), o.astype(np.int32)
+
+
+def resample_output_count(n_in: int, n_taps: int, interpolation: int,
+                          decimation: int, offset: int) -> int:
+    """Outputs computable from ``n_in`` input samples at start phase ``offset``.
+
+    Mirrors the count the reference's streaming layer computes
+    (Filter.hs:694): ``(n*I - K + offset) // D + 1``.
+    """
+    c = (n_in * interpolation - n_taps + offset) // decimation + 1
+    return max(0, c)
+
+
+def resample_end_offset(count: int, interpolation: int, decimation: int,
+                        offset: int) -> int:
+    """Phase after emitting ``count`` outputs (carry for the next block)."""
+    return (offset - count * decimation) % interpolation
+
+
+class FirSpec:
+    """Static plan for a rational-rate FIR (the Filter/Decimator/Resampler
+    config structs of Filter.hs:116-144, unified).
+
+    Hashable/static so it can close over jitted functions.  ``interpolation
+    == decimation == 1`` is a plain filter; ``interpolation == 1`` a
+    decimator; otherwise a rational resampler.
+    """
+
+    def __init__(self, taps, interpolation: int = 1, decimation: int = 1,
+                 symmetric: bool = False):
+        taps = np.asarray(taps, dtype=np.float32)
+        if symmetric:
+            # The reference's symmetric kernels take the first half of a
+            # linear-phase filter and mirror it (filter.c:50, Filter.hs:248).
+            taps = np.concatenate([taps, taps[::-1]])
+        if taps.ndim != 1:
+            raise ValueError("taps must be 1-D")
+        if interpolation < 1 or decimation < 1:
+            raise ValueError("factors must be >= 1")
+        self.taps = taps
+        self.interpolation = int(interpolation)
+        self.decimation = int(decimation)
+        self.n_taps = int(taps.shape[0])
+        self.phase_table = prepare_phase_table(taps, self.interpolation)
+        self.taps_per_phase = self.phase_table.shape[1]
+
+    def __hash__(self):
+        return hash((self.taps.tobytes(), self.interpolation, self.decimation))
+
+    def __eq__(self, other):
+        return (isinstance(other, FirSpec)
+                and self.interpolation == other.interpolation
+                and self.decimation == other.decimation
+                and np.array_equal(self.taps, other.taps))
+
+    def __repr__(self):
+        return (f"FirSpec(K={self.n_taps}, I={self.interpolation}, "
+                f"D={self.decimation})")
+
+
+# ---------------------------------------------------------------------------
+# Execution paths.  Each takes x with shape [..., N] (leading dims batched)
+# and returns [..., num].
+# ---------------------------------------------------------------------------
+
+def _as_real_batch(x):
+    """View complex [..., N] as real [..., 2, N]; returns (xr, rebuild)."""
+    if jnp.iscomplexobj(x):
+        xr = jnp.stack([x.real, x.imag], axis=-2)
+        return xr, lambda y: jax.lax.complex(y[..., 0, :], y[..., 1, :])
+    return x, lambda y: y
+
+
+def _gather_windows(x, starts: np.ndarray, length: int):
+    """W[..., m, k] = x[..., starts[m] + k] via one static gather."""
+    idx = starts[:, None] + np.arange(length, dtype=np.int64)[None, :]
+    need = int(idx.max()) + 1 if idx.size else 0
+    n = x.shape[-1]
+    if need > n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, need - n)]
+        x = jnp.pad(x, pad)
+    return jnp.take(x, jnp.asarray(idx, dtype=jnp.int32), axis=-1)
+
+
+def _fir_direct(taps_dev, x, num: int, factor: int):
+    """Gather-einsum path: works for any stride; reference semantics
+    out[m] = sum_j taps[j] * x[m*factor + j]  (decimate.c:16-24)."""
+    K = taps_dev.shape[0]
+    starts = np.arange(num, dtype=np.int64) * factor
+    W = _gather_windows(x, starts, K)  # [..., num, K]
+    return jnp.einsum("...mk,k->...m", W, taps_dev,
+                      preferred_element_type=jnp.float32)
+
+
+def _banded_matrix(taps: np.ndarray, factor: int, lane: int) -> np.ndarray:
+    """B[m, q] = taps[m - q*factor] (zero outside band).
+
+    X[p, m] = x[p*lane*factor + m]  =>  (X @ B)[p, q] = y[p*lane + q].
+    """
+    K = taps.shape[0]
+    M = (lane - 1) * factor + K
+    B = np.zeros((M, lane), dtype=np.float32)
+    for q in range(lane):
+        B[q * factor: q * factor + K, q] = taps
+    return B
+
+
+def _fir_banded(taps_np: np.ndarray, x, num: int, factor: int):
+    """MXU path: banded matmul. For factor > 1 the input is first split into
+    ``factor`` polyphase components so every sub-band stays dense (the MXU
+    analog of decimate.c's strided dot products)."""
+    lane = LANE
+    P = -(-num // lane)
+    if factor == 1:
+        B = _banded_matrix(taps_np, 1, lane)            # [M, lane]
+        M = B.shape[0]
+        starts = np.arange(P, dtype=np.int64) * lane
+        X = _gather_windows(x, starts, M)               # [..., P, M]
+        Y = jnp.einsum("...pm,ml->...pl", X, jnp.asarray(B),
+                       preferred_element_type=jnp.float32)
+    else:
+        # Polyphase split: y[m] = sum_r sum_k taps[r + k*f] * xr[m + k_r]
+        # where xr[n] = x[n*f + r].  Each r-term is a dense FIR; batch the
+        # f banded matmuls as one wide matmul.
+        f = factor
+        K = taps_np.shape[0]
+        Kr = -(-K // f)
+        n_in_r = P * lane + Kr  # samples needed per polyphase component
+        Bs, Xs = [], []
+        need = (n_in_r - 1) * f + f
+        n = x.shape[-1]
+        if need > n:
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, need - n)]
+            x = jnp.pad(x, pad)
+        for r in range(f):
+            tr = np.zeros(Kr, dtype=np.float32)
+            sub = taps_np[r::f]
+            tr[: sub.shape[0]] = sub
+            Bs.append(_banded_matrix(tr, 1, lane))       # [lane-1+Kr, lane]
+            xr = x[..., r::f][..., :n_in_r]
+            starts = np.arange(P, dtype=np.int64) * lane
+            Xs.append(_gather_windows(xr, starts, lane - 1 + Kr))
+        B = jnp.asarray(np.concatenate(Bs, axis=0))      # [f*(lane-1+Kr), lane]
+        X = jnp.concatenate(Xs, axis=-1)                 # [..., P, f*(lane-1+Kr)]
+        Y = jnp.einsum("...pm,ml->...pl", X, B,
+                       preferred_element_type=jnp.float32)
+    Y = Y.reshape(Y.shape[:-2] + (P * lane,))
+    return Y[..., :num]
+
+
+def _fir_conv(taps_dev, x, num: int, factor: int):
+    """lax.conv_general_dilated path (XLA's native TPU conv -> MXU).
+
+    ConvGeneralDilated computes cross-correlation (no kernel flip), which is
+    exactly the reference's orientation (filter.c:16-24).
+    """
+    K = taps_dev.shape[0]
+    need = (num - 1) * factor + K
+    n = x.shape[-1]
+    if need > n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - n)])
+    else:
+        x = x[..., :need]
+    lead = x.shape[:-1]
+    xb = x.reshape((-1, 1, x.shape[-1]))           # [B, C=1, N]
+    w = taps_dev.reshape((1, 1, K))                # [O=1, I=1, K]
+    y = jax.lax.conv_general_dilated(
+        xb, w, window_strides=(factor,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)
+    return y.reshape(lead + (-1,))[..., :num]
+
+
+def _pick_method(method: str, num: int, factor: int) -> str:
+    if method != "auto":
+        return method
+    # Banded matmul needs enough output tiles to amortize; conv is the
+    # robust MXU default; direct for tiny problems.
+    if num < LANE:
+        return "direct"
+    return "conv"
+
+
+def _dispatch(taps_np: np.ndarray, x, num: int, factor: int, method: str):
+    method = _pick_method(method, num, factor)
+    xr, rebuild = _as_real_batch(x)
+    if method == "direct":
+        y = _fir_direct(jnp.asarray(taps_np), xr, num, factor)
+    elif method == "banded":
+        y = _fir_banded(taps_np, xr, num, factor)
+    elif method == "conv":
+        y = _fir_conv(jnp.asarray(taps_np), xr, num, factor)
+    elif method == "pallas":
+        from sdr_tpu.kernels import fir_pallas
+        y = fir_pallas.fir_strided(jnp.asarray(taps_np), xr, num, factor)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return rebuild(y)
+
+
+# ---------------------------------------------------------------------------
+# Public ops (reference kernel parity surface).
+# ---------------------------------------------------------------------------
+
+def fir_filter(taps, x, num: Optional[int] = None, method: str = "auto"):
+    """Sliding dot product, reference ``filterRR``/``filterRC``
+    (c_sources/filter.c:16,74):  y[i] = sum_j taps[j] * x[..., i+j].
+
+    ``num`` defaults to the full valid length ``N - K + 1``.  Real taps;
+    ``x`` may be real or complex (complex handled as a 2-row real batch,
+    like the interleaved re/im layout of filter.c:74-84).
+    """
+    taps_np = np.asarray(taps, dtype=np.float32)
+    if num is None:
+        num = x.shape[-1] - taps_np.shape[0] + 1
+    if num < 0:
+        raise ValueError("input shorter than filter")
+    return _dispatch(taps_np, x, int(num), 1, method)
+
+
+def fir_decimate(taps, factor: int, x, num: Optional[int] = None,
+                 method: str = "auto"):
+    """Strided sliding dot product, reference ``decimateRR``/``decimateRC``
+    (c_sources/decimate.c:16,73):  y[i] = sum_j taps[j] * x[..., i*factor+j].
+    """
+    taps_np = np.asarray(taps, dtype=np.float32)
+    if num is None:
+        num = (x.shape[-1] - taps_np.shape[0]) // factor + 1
+    if num < 0:
+        raise ValueError("input shorter than filter")
+    return _dispatch(taps_np, x, int(num), int(factor), method)
+
+
+def fir_resample(taps, interpolation: int, decimation: int, x,
+                 offset: int = 0, num: Optional[int] = None,
+                 method: str = "auto"):
+    """Polyphase rational resampler, reference ``resampleRR``/``resample2RR``
+    (c_sources/resample.c:16-48) and ``resampleHighLevel``
+    (FilterInternal.hs:252-265).
+
+    Returns ``(y, end_offset)`` where ``end_offset`` is the phase carry for
+    the next block — same contract as the C kernel returning the final
+    group (resample.c:48).
+
+    Closed-form positions (see module docstring): output m reads input
+    window starting at i_m with coefficient-phase row o_m.  Outputs with
+    equal phase form arithmetic input sequences, so the whole op is a
+    static gather + phase-table contraction — no sequential recurrence.
+    """
+    taps_np = np.asarray(taps, dtype=np.float32)
+    I, D = int(interpolation), int(decimation)
+    K = taps_np.shape[0]
+    offset = int(offset)
+    if not (0 <= offset < I):
+        raise ValueError("offset must be in [0, interpolation)")
+    if num is None:
+        num = resample_output_count(x.shape[-1], K, I, D, offset)
+    num = int(num)
+    end_offset = resample_end_offset(num, I, D, offset)
+    if num == 0:
+        shape = x.shape[:-1] + (0,)
+        return jnp.zeros(shape, x.dtype), end_offset
+    if I == 1:
+        y = _dispatch(taps_np, x, num, D, method)
+        return y, 0
+
+    table = prepare_phase_table(taps_np, I)           # [I, Kp]
+    Kp = table.shape[1]
+    i_m, o_m = _resample_positions(num, I, D, offset)
+
+    xr, rebuild = _as_real_batch(x)
+    W = _gather_windows(xr, i_m.astype(np.int64), Kp)   # [..., num, Kp]
+    rows = jnp.asarray(table[o_m])                      # [num, Kp] static rows
+    y = jnp.einsum("...mk,mk->...m", W, rows,
+                   preferred_element_type=jnp.float32)
+    return rebuild(y), end_offset

@@ -1,0 +1,173 @@
+"""Differential tests for the FIR engine.
+
+Strategy mirrors the reference suite (tests/TestSuite.hs): run every
+implementation variant on the same randomized inputs and assert pairwise
+closeness within 0.01 absolute (real) / 0.01 magnitude (complex) — the
+reference's published tolerance (TestSuite.hs:284-289).  The "variant list"
+here is {numpy oracle, direct gather, banded matmul, XLA conv, scipy}.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from sdr_tpu.ops import fir
+from oracles import filter_oracle, decimate_oracle, resample_oracle
+
+TOL = 0.01
+METHODS = ["direct", "banded", "conv"]
+
+
+def rand_real(rng, n):
+    return rng.uniform(-10, 10, n).astype(np.float32)
+
+
+def rand_complex(rng, n):
+    return (rng.uniform(-10, 10, n) + 1j * rng.uniform(-10, 10, n)).astype(
+        np.complex64)
+
+
+@pytest.mark.parametrize("size", [1024, 4096])
+@pytest.mark.parametrize("ntaps", [32, 128, 257])
+@pytest.mark.parametrize("method", METHODS)
+def test_filter_real(rng, size, ntaps, method):
+    x = rand_real(rng, size)
+    taps = rand_real(rng, ntaps)
+    num = size - ntaps + 1
+    want = filter_oracle(taps, x, num)
+    got = np.asarray(fir.fir_filter(taps, x, num, method=method))
+    assert got.shape == (num,)
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
+@pytest.mark.parametrize("size", [1024])
+@pytest.mark.parametrize("ntaps", [64, 129])
+@pytest.mark.parametrize("method", METHODS)
+def test_filter_complex(rng, size, ntaps, method):
+    x = rand_complex(rng, size)
+    taps = rand_real(rng, ntaps)
+    num = size - ntaps + 1
+    want = filter_oracle(taps, x.astype(np.complex128), num)
+    got = np.asarray(fir.fir_filter(taps, x, num, method=method))
+    assert np.abs(got - want).max() < TOL
+
+
+def test_filter_symmetric_matches_full(rng):
+    """Symmetric spec == generic run with mirrored taps — the reference's
+    cross-check trick (TestSuite.hs:69-83)."""
+    half = rand_real(rng, 64)
+    spec = fir.FirSpec(half, symmetric=True)
+    x = rand_real(rng, 2048)
+    full = np.concatenate([half, half[::-1]])
+    num = 2048 - 128 + 1
+    got = np.asarray(fir.fir_filter(spec.taps, x, num))
+    want = filter_oracle(full, x, num)
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
+@pytest.mark.parametrize("factor", [1, 2, 3, 5, 7, 13, 23])
+@pytest.mark.parametrize("method", METHODS)
+def test_decimate_real(rng, factor, method):
+    size, ntaps = 4096, 128
+    x = rand_real(rng, size)
+    taps = rand_real(rng, ntaps)
+    num = (size - ntaps) // factor + 1
+    want = decimate_oracle(taps, factor, x, num)
+    got = np.asarray(fir.fir_decimate(taps, factor, x, num, method=method))
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
+@pytest.mark.parametrize("factor", [2, 8])
+@pytest.mark.parametrize("method", METHODS)
+def test_decimate_complex(rng, factor, method):
+    size, ntaps = 2048, 64
+    x = rand_complex(rng, size)
+    taps = rand_real(rng, ntaps)
+    num = (size - ntaps) // factor + 1
+    want = decimate_oracle(taps, factor, x.astype(np.complex128), num)
+    got = np.asarray(fir.fir_decimate(taps, factor, x, num, method=method))
+    assert np.abs(got - want).max() < TOL
+
+
+# Resampler factor pairs from the reference's distribution: interpolation
+# and decimation drawn from primes with interpolation < decimation, plus
+# upsampling pairs (the reference also documents the upsampling case,
+# Filter.hs:640-672).
+RATIOS = [(1, 2), (2, 3), (3, 7), (5, 13), (7, 23), (3, 10),
+          (7, 3), (13, 5), (11, 2)]
+
+
+@pytest.mark.parametrize("interp,decim", RATIOS)
+def test_resample_real(rng, interp, decim):
+    size, ntaps = 4096, 128
+    x = rand_real(rng, size)
+    taps = rand_real(rng, ntaps)
+    offset = int(rng.integers(0, interp))
+    num = fir.resample_output_count(size, ntaps, interp, decim, offset)
+    num = min(num, (size - ntaps) // max(1, decim // interp + 1))  # stay in bounds
+    want, want_off = resample_oracle(taps, interp, decim, x, offset, num)
+    got, got_off = fir.fir_resample(taps, interp, decim, x, offset, num)
+    got = np.asarray(got)
+    assert got_off == want_off
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
+@pytest.mark.parametrize("interp,decim", [(3, 10), (2, 3), (7, 4)])
+def test_resample_complex(rng, interp, decim):
+    size, ntaps = 2048, 64
+    x = rand_complex(rng, size)
+    taps = rand_real(rng, ntaps)
+    num = fir.resample_output_count(size, ntaps, interp, decim, 0) - 4
+    want, _ = resample_oracle(taps, interp, decim, x.astype(np.complex128),
+                              0, num)
+    got, _ = fir.fir_resample(taps, interp, decim, x, 0, num)
+    assert np.abs(np.asarray(got) - want).max() < TOL
+
+
+def test_resample_against_scipy_upfirdn(rng):
+    """Cross-check the whole polyphase formulation against scipy.
+
+    upfirdn(h, x, I, D) computes the downsampled filtered upsampled signal;
+    our resampler with offset 0 matches its first outputs exactly (same
+    correlation orientation after upsampling alignment: upfirdn output m is
+    sum_k h[mD - kI... ] — empirically aligned below; tolerance same 0.01).
+    """
+    I, D, K, N = 3, 10, 31, 4096
+    x = rand_real(rng, N)
+    taps = rand_real(rng, K)
+    num = fir.resample_output_count(N, K, I, D, 0)
+    got, _ = fir.fir_resample(taps, I, D, x, 0, num)
+    got = np.asarray(got)
+    # scipy applies h as convolution against the upsampled signal; our
+    # orientation is correlation starting at x[0]: y[m] = sum_k h[o+kI] x[i+k].
+    # Equivalent scipy call: upfirdn with time-reversed taps, trimmed to the
+    # overlap-complete region.
+    up = scipy.signal.upfirdn(taps[::-1], x, up=I, down=D)
+    # upfirdn y[m] = sum_j hrev[j] xup[m*D - j + ...]; full-mode: first K-1
+    # upsampled lags are partial.  The first complete output index:
+    lead = (K - 1 + D - 1) // D
+    ref = up[lead:lead + num]
+    n = min(len(ref), num)
+    np.testing.assert_allclose(got[:n], ref[:n], atol=TOL)
+
+
+def test_phase_table():
+    taps = np.arange(10, dtype=np.float32)
+    t = fir.prepare_phase_table(taps, 3)
+    assert t.shape == (3, 4)
+    np.testing.assert_array_equal(t[0], [0, 3, 6, 9])
+    np.testing.assert_array_equal(t[1], [1, 4, 7, 0])
+    np.testing.assert_array_equal(t[2], [2, 5, 8, 0])
+
+
+def test_batched_leading_dims(rng):
+    """All paths must broadcast over leading (channel) dims — the channelizer
+    contract."""
+    x = rng.uniform(-1, 1, (4, 3, 1024)).astype(np.float32)
+    taps = rand_real(rng, 32)
+    num = 1024 - 32 + 1
+    for method in METHODS:
+        y = np.asarray(fir.fir_filter(taps, x, num, method=method))
+        assert y.shape == (4, 3, num)
+        np.testing.assert_allclose(
+            y[2, 1], filter_oracle(taps, x[2, 1], num), atol=TOL)
