@@ -1,0 +1,18 @@
+"""Streaming runtime: stateful block operators and pipelines."""
+
+from sdr_tpu.stream.block import StreamOp  # noqa: F401
+from sdr_tpu.stream.ops import (  # noqa: F401
+    IqConvertU8,
+    IqConvertI16,
+    Fir,
+    FmDemod,
+    AmDemod,
+    Agc,
+    DcBlocker,
+    Scale,
+    Mix,
+    Map,
+    FftStream,
+)
+from sdr_tpu.stream.pipeline import Pipeline  # noqa: F401
+from sdr_tpu.stream.rate import rate, Timer  # noqa: F401

@@ -1,0 +1,61 @@
+"""Streaming block-operator protocol.
+
+The reference streams unbounded signals as pipes of sample blocks, with
+each stateful operator handling the seam between adjacent blocks via a
+dedicated cross-buffer code path and explicit carried state
+(SDR/Filter.hs:530-727, SDR/Demod.hs:39-46, SDR/Util.hs:329-348).
+
+TPU-native formulation: every operator is a pure function
+
+    apply(carry, x[..., n_in]) -> (carry', y[..., n_out])
+
+with *static* block shapes and the carry a small pytree (filter history,
+resampler phase, demod last-sample, AGC gain, ...).  Composition is
+function composition inside one jit; the reference's one-buffer/cross-buffer
+split collapses into overlap-save: the carry holds the trailing history
+samples and each block is processed as ``concat(history, block)``.
+
+Consequence of static shapes (documented contract): stream outputs are the
+outputs of the *left-zero-padded* input stream — each FIR-family operator
+prepends ``history_len`` zeros at t=0 (standard overlap-save warmup),
+instead of the reference's variable-length warmup blocks.  Blockwise
+processing is then *exactly* equal to one-shot processing of the
+concatenated stream (tested in tests/test_stream.py), which is the property
+the reference's cross-buffer functions exist to provide.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["StreamOp"]
+
+
+class StreamOp:
+    """Base class for stream operators.
+
+    Subclasses define:
+      * ``out_len(n_in)``           — static rate map (may raise if n_in
+                                      incompatible, e.g. not divisible)
+      * ``out_dtype(in_dtype)``     — static dtype map
+      * ``init_carry(n_in, in_dtype, batch_shape)`` — initial carry pytree
+      * ``apply(carry, x)``         — the pure block transform
+    """
+
+    def out_len(self, n_in: int) -> int:
+        return n_in
+
+    def out_dtype(self, in_dtype):
+        return in_dtype
+
+    def init_carry(self, n_in: int, in_dtype, batch_shape=()) -> Any:
+        return ()
+
+    def apply(self, carry, x):
+        raise NotImplementedError
+
+    def __repr__(self):
+        return type(self).__name__

@@ -1,0 +1,314 @@
+"""Stream-operator wrappers over the pure DSP ops.
+
+Each class pairs an op from :mod:`sdr_tpu.ops` with its carry management,
+replacing the reference's stateful pipes:
+
+  =====================  ==========================================
+  this module            reference
+  =====================  ==========================================
+  ``IqConvertU8``        P.map interleavedIQUnsignedByteToFloat*
+  ``IqConvertI16``       P.map interleavedIQSignedWordToFloat*
+  ``Fir`` (I=D=1)        firFilter       (Filter.hs:530-569)
+  ``Fir`` (I=1)          firDecimator    (Filter.hs:572-611)
+  ``Fir`` (general)      firResampler    (Filter.hs:677-727)
+  ``FmDemod``            fmDemod         (Demod.hs:39-46)
+  ``AmDemod``            — (airband config: magnitude)
+  ``Agc``                agcPipe         (Util.hs:343-348)
+  ``DcBlocker``          dcBlockingFilter (Filter.hs:729-739)
+  ``Scale``              P.map (VG.map (* k))
+  ``Mix``                P.map (zipWith mult shifter)
+  ``Map``                P.map
+  ``FftStream``          fftw / fftwParallel (FFT.hs)
+  =====================  ==========================================
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sdr_tpu.ops import convert, demod, design, fftops, fir, scans, shift
+from sdr_tpu.stream.block import StreamOp
+
+__all__ = [
+    "IqConvertU8", "IqConvertI16", "Fir", "FmDemod", "AmDemod", "Agc",
+    "DcBlocker", "Scale", "Mix", "Map", "FftStream",
+]
+
+
+class IqConvertU8(StreamOp):
+    """Interleaved u8 I/Q -> complex64 (RTL-SDR front end)."""
+
+    def out_len(self, n_in):
+        if n_in % 2:
+            raise ValueError("interleaved IQ needs even block")
+        return n_in // 2
+
+    def out_dtype(self, in_dtype):
+        return jnp.complex64
+
+    def apply(self, carry, x):
+        return carry, convert.iq_u8_to_cfloat(x)
+
+
+class IqConvertI16(StreamOp):
+    """Interleaved i16 I/Q -> complex64 (BladeRF front end)."""
+
+    def out_len(self, n_in):
+        if n_in % 2:
+            raise ValueError("interleaved IQ needs even block")
+        return n_in // 2
+
+    def out_dtype(self, in_dtype):
+        return jnp.complex64
+
+    def apply(self, carry, x):
+        return carry, convert.iq_i16_to_cfloat(x)
+
+
+class Fir(StreamOp):
+    """Streaming FIR filter / decimator / rational resampler.
+
+    Overlap-save around the offline kernels: the carry holds the last
+    ``hist`` input samples; ``apply`` runs the closed-form kernel on
+    ``concat(hist, x)``.  Because the per-block output count is pinned to
+    ``n_in * I / D`` (``n_in`` must make that integral), the resampler's
+    coefficient phase is *block-invariant* — the phase that the reference
+    threads through its existential ``dat`` carry (Filter.hs:137-144)
+    reduces to a compile-time constant here (see the t_m = m*D - o0 closed
+    form in ops/fir.py).
+
+    ``method`` selects the execution path ('auto'/'direct'/'banded'/
+    'conv'/'pallas') — the analog of the reference's fastFilterC/SSE/AVX
+    constructor families (Filter.hs:177-502), except selection is explicit
+    rather than CPUID-driven.
+    """
+
+    def __init__(self, spec: fir.FirSpec, offset: int = 0,
+                 method: str = "auto"):
+        self.spec = spec
+        self.offset = int(offset)
+        self.method = method
+
+    @classmethod
+    def filter(cls, taps, symmetric: bool = False, method: str = "auto"):
+        return cls(fir.FirSpec(taps, symmetric=symmetric), method=method)
+
+    @classmethod
+    def decimator(cls, taps, factor: int, symmetric: bool = False,
+                  method: str = "auto"):
+        return cls(fir.FirSpec(taps, decimation=factor, symmetric=symmetric),
+                   method=method)
+
+    @classmethod
+    def resampler(cls, taps, interpolation: int, decimation: int,
+                  offset: int = 0, method: str = "auto"):
+        return cls(fir.FirSpec(taps, interpolation, decimation),
+                   offset=offset, method=method)
+
+    # -- static planning ---------------------------------------------------
+
+    def _check(self, n_in):
+        I, D = self.spec.interpolation, self.spec.decimation
+        if (n_in * I) % D:
+            raise ValueError(
+                f"block {n_in} incompatible with rate {I}/{D}: "
+                f"n_in*I must be divisible by D")
+        return n_in * I // D
+
+    def hist_len(self, n_in: int) -> int:
+        """History (overlap-save halo) length: the static bound on how far
+        the last output of a block reads behind the block start."""
+        n_out = self._check(n_in)
+        I, D, K = (self.spec.interpolation, self.spec.decimation,
+                   self.spec.n_taps)
+        if I == 1:
+            return max(0, K - D)
+        m = np.arange(n_out, dtype=np.int64)
+        t = m * D - self.offset
+        o = (-t) % I
+        i = (t + o) // I
+        ktaps = -(-(K - o) // I)  # taps actually read per phase
+        max_read = int((i + ktaps - 1).max())
+        return max(0, max_read - n_in + 1)
+
+    def out_len(self, n_in):
+        return self._check(n_in)
+
+    def init_carry(self, n_in, in_dtype, batch_shape=()):
+        H = self.hist_len(n_in)
+        return jnp.zeros(batch_shape + (H,), dtype=in_dtype)
+
+    def apply(self, carry, x):
+        n_in = x.shape[-1]
+        n_out = self._check(n_in)
+        xext = jnp.concatenate([carry, x], axis=-1)
+        I, D = self.spec.interpolation, self.spec.decimation
+        if I == 1 and D == 1:
+            y = fir.fir_filter(self.spec.taps, xext, n_out,
+                               method=self.method)
+        elif I == 1:
+            y = fir.fir_decimate(self.spec.taps, D, xext, n_out,
+                                 method=self.method)
+        else:
+            y, _ = fir.fir_resample(self.spec.taps, I, D, xext,
+                                    self.offset, n_out, method=self.method)
+        H = carry.shape[-1]
+        new_hist = xext[..., xext.shape[-1] - H:] if H else carry
+        return new_hist, y
+
+
+class FmDemod(StreamOp):
+    """FM demodulation with last-sample carry (Demod.hs:39-46)."""
+
+    def out_dtype(self, in_dtype):
+        return jnp.float32
+
+    def init_carry(self, n_in, in_dtype, batch_shape=()):
+        return jnp.zeros(batch_shape, dtype=in_dtype)
+
+    def apply(self, carry, x):
+        y, last = demod.fm_demod(x, carry)
+        return last, y
+
+
+class AmDemod(StreamOp):
+    """AM envelope detector (stateless)."""
+
+    def out_dtype(self, in_dtype):
+        return jnp.float32
+
+    def apply(self, carry, x):
+        return carry, demod.am_demod(x)
+
+
+class Agc(StreamOp):
+    """Automatic gain control with gain carry (Util.hs:343-348)."""
+
+    def __init__(self, mu: float, reference: float, initial: float = 1.0):
+        self.mu, self.reference, self.initial = mu, reference, initial
+
+    def init_carry(self, n_in, in_dtype, batch_shape=()):
+        return jnp.full(batch_shape, self.initial, dtype=jnp.float32)
+
+    def apply(self, carry, x):
+        y, g = scans.agc(x, self.mu, self.reference, carry)
+        return g, y
+
+
+class DcBlocker(StreamOp):
+    """DC blocking filter with (last_sample, last_output) carry
+    (Filter.hs:729-739)."""
+
+    def __init__(self, alpha: float = 0.997):
+        self.alpha = alpha
+
+    def init_carry(self, n_in, in_dtype, batch_shape=()):
+        z = jnp.zeros(batch_shape, dtype=jnp.float32)
+        return (z, z)
+
+    def apply(self, carry, x):
+        y, new = scans.dc_blocker(x, carry[0], carry[1], self.alpha)
+        return new, y
+
+
+class Scale(StreamOp):
+    """y = k * x (scale.c semantics, stateless)."""
+
+    def __init__(self, factor: float):
+        self.factor = factor
+
+    def apply(self, carry, x):
+        return carry, x * jnp.asarray(self.factor, dtype=jnp.float32)
+
+
+class Mix(StreamOp):
+    """Multiply by a complex local oscillator with phase continuity.
+
+    Carry is the current unit phasor; each block multiplies by the static
+    oscillator table and the carried phasor, then renormalizes the carry so
+    f32 rounding cannot drift the magnitude over long streams.  Generalizes
+    the reference's halfBandUp/quarterBandUp shift vectors (Util.hs:263-285)
+    to arbitrary frequencies.
+    """
+
+    def __init__(self, freq: float):
+        self.freq = float(freq)
+
+    def out_dtype(self, in_dtype):
+        return jnp.complex64
+
+    def init_carry(self, n_in, in_dtype, batch_shape=()):
+        return jnp.ones(batch_shape, dtype=jnp.complex64)
+
+    def apply(self, carry, x):
+        n = x.shape[-1]
+        lo = shift.oscillator(n, self.freq)
+        step = jnp.asarray(np.exp(2j * np.pi * self.freq * n),
+                           dtype=jnp.complex64)
+        y = x * lo * carry[..., None]
+        new = carry * step
+        new = new / jnp.abs(new)
+        return new, y
+
+
+class Map(StreamOp):
+    """Stateless elementwise map (the P.map analog)."""
+
+    def __init__(self, fn: Callable, dtype=None):
+        self.fn = fn
+        self.dtype = dtype
+
+    def out_dtype(self, in_dtype):
+        return self.dtype if self.dtype is not None else in_dtype
+
+    def apply(self, carry, x):
+        return carry, self.fn(x)
+
+
+class FftStream(StreamOp):
+    """Windowed overlapping FFT frames: [..., n] -> [..., n/hop, size].
+
+    The batched replacement for fftw/fftwParallel pipes (FFT.hs:44-168):
+    all frames of a block are transformed in one batched FFT, which keeps
+    the in-order output contract of fftwParallel by construction.  Overlap
+    across block boundaries is carried as the trailing ``size - hop``
+    samples.
+    """
+
+    def __init__(self, size: int, hop: Optional[int] = None, window=None,
+                 shift: bool = True, magnitude: bool = True):
+        self.size = size
+        self.hop = hop if hop is not None else size
+        if self.hop > size:
+            raise ValueError("hop must be <= size")
+        self.window = (np.asarray(window, dtype=np.float32)
+                       if window is not None else design.hanning(size))
+        self.shift = shift
+        self.magnitude = magnitude
+
+    def out_len(self, n_in):
+        if n_in % self.hop:
+            raise ValueError("block must be divisible by hop")
+        return n_in // self.hop
+
+    def out_dtype(self, in_dtype):
+        return jnp.float32 if self.magnitude else jnp.complex64
+
+    def init_carry(self, n_in, in_dtype, batch_shape=()):
+        return jnp.zeros(batch_shape + (self.size - self.hop,),
+                         dtype=in_dtype)
+
+    def apply(self, carry, x):
+        xext = jnp.concatenate([carry, x], axis=-1)
+        frames = fftops.frame(xext, self.size, self.hop, self.window)
+        F = fftops.fft(frames)
+        if self.shift:
+            F = jnp.fft.fftshift(F, axes=-1)
+        y = jnp.abs(F) if self.magnitude else F
+        H = self.size - self.hop
+        new = xext[..., xext.shape[-1] - H:] if H else carry
+        return new, y
