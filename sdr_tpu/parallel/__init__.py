@@ -1,0 +1,18 @@
+"""Mesh sharding, halo exchange, and sharded pipeline execution."""
+
+from sdr_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    time_mesh,
+    channel_time_mesh,
+)
+from sdr_tpu.parallel.halo import (  # noqa: F401
+    left_halo,
+    right_shift_scalar,
+    exclusive_affine_prefix,
+)
+from sdr_tpu.parallel.sharded import (  # noqa: F401
+    time_sharded_fn,
+    run_time_sharded,
+    run_channel_sharded,
+    run_grid_sharded,
+)

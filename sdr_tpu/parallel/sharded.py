@@ -1,0 +1,105 @@
+"""Sharded pipeline execution over device meshes.
+
+Replaces the reference's single-machine streaming with SPMD over a mesh:
+
+* **time sharding** — one long recorded stream split into contiguous
+  per-device chunks; every stateful operator gets its seam state from the
+  left neighbor (halo exchange via ppermute, see parallel/halo.py and the
+  per-op ``shard_carry`` methods).  Exactness contract: the sharded run
+  produces the SAME samples as the single-device streamed run (tested on a
+  virtual CPU mesh in tests/test_parallel.py).
+
+* **channel sharding** — independent channels ([..., C, N] arrays) mapped
+  over a mesh axis; ops already broadcast over leading dims so this is pure
+  data parallelism with no communication (the 64-channel channelizer,
+  BASELINE config #5).
+
+Both compose on a 2-D {channel, time} mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sdr_tpu.stream.block import StreamOp
+from sdr_tpu.stream.pipeline import Pipeline
+
+__all__ = ["time_sharded_fn", "run_time_sharded", "run_channel_sharded",
+           "run_grid_sharded"]
+
+
+def time_sharded_fn(ops: Sequence[StreamOp], axis_name: str = "t"):
+    """Build the per-shard function for a chain of ops.
+
+    Returns ``fn(local_block) -> local_out`` to be wrapped in ``shard_map``
+    over ``axis_name``: each op fetches its left-boundary state collectively
+    (``shard_carry``) then applies its pure block transform.
+    """
+    ops = list(ops)
+
+    def fn(x):
+        for op in ops:
+            carry = op.shard_carry(x, axis_name)
+            _, x = op.apply(carry, x)
+        return x
+
+    return fn
+
+
+def run_time_sharded(ops: Sequence[StreamOp], mesh: Mesh, x,
+                     axis_name: str = "t", extra_specs=()):
+    """Process a global signal [..., N] sharded along time.
+
+    N must divide evenly by the mesh axis size, and each per-device chunk
+    must satisfy the chain's divisibility constraints (checked via a
+    Pipeline dry-run at trace time).
+    """
+    n_shards = mesh.shape[axis_name]
+    n = x.shape[-1]
+    if n % n_shards:
+        raise ValueError(f"signal length {n} not divisible by {n_shards}")
+    # static validation of per-shard rates
+    Pipeline(ops, block_in=n // n_shards, in_dtype=x.dtype,
+             batch_shape=x.shape[:-1])
+    spec = P(*([None] * (x.ndim - 1) + [axis_name]))
+    fn = time_sharded_fn(ops, axis_name)
+    sharded = jax.shard_map(fn, mesh=mesh, in_specs=spec, out_specs=spec,
+                            check_vma=False)
+    return sharded(x)
+
+
+def run_channel_sharded(ops: Sequence[StreamOp], mesh: Mesh, x, carries=None,
+                        axis_name: str = "c"):
+    """Process [..., C, N] with channels sharded over ``axis_name``.
+
+    Pure data parallelism: the chain runs independently per channel chunk
+    (the reference's 'multiple independent FM chains' channelizer mapped
+    over the mesh instead of over OS threads).
+    """
+    spec = P(*([None] * (x.ndim - 2) + [axis_name, None]))
+
+    def fn(xl):
+        for op in ops:
+            c = op.init_carry(xl.shape[-1], xl.dtype, xl.shape[:-1])
+            _, xl = op.apply(c, xl)
+        return xl
+
+    sharded = jax.shard_map(fn, mesh=mesh, in_specs=spec, out_specs=spec,
+                            check_vma=False)
+    return sharded(x)
+
+
+def run_grid_sharded(ops: Sequence[StreamOp], mesh: Mesh, x,
+                     channel_axis: str = "c", time_axis: str = "t"):
+    """2-D sharding: [..., C, N] with channels over ``channel_axis`` and
+    time over ``time_axis`` (halo exchange on the inner time axis)."""
+    spec = P(*([None] * (x.ndim - 2) + [channel_axis, time_axis]))
+    fn = time_sharded_fn(ops, time_axis)
+    sharded = jax.shard_map(fn, mesh=mesh, in_specs=spec, out_specs=spec,
+                            check_vma=False)
+    return sharded(x)

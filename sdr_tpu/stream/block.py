@@ -57,5 +57,20 @@ class StreamOp:
     def apply(self, carry, x):
         raise NotImplementedError
 
+    def shard_carry(self, x, axis_name: str):
+        """Carry for *time-sharded* execution (inside shard_map).
+
+        Given this shard's local input block ``x``, return the stream state
+        at the shard's left boundary — for most ops a halo fetched from the
+        left neighbor via ppermute (zeros on shard 0, matching the
+        zero-padded warmup).  Stateless ops (default) need nothing.
+        Ops whose state is not a function of bounded left context must
+        override and either compute it collectively or raise.
+        """
+        if type(self).init_carry is StreamOp.init_carry:
+            return ()  # stateless op
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support time sharding")
+
     def __repr__(self):
         return type(self).__name__

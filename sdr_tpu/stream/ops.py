@@ -160,6 +160,10 @@ class Fir(StreamOp):
         new_hist = xext[..., xext.shape[-1] - H:] if H else carry
         return new_hist, y
 
+    def shard_carry(self, x, axis_name):
+        from sdr_tpu.parallel.halo import left_halo
+        return left_halo(x, self.hist_len(x.shape[-1]), axis_name)
+
 
 class FmDemod(StreamOp):
     """FM demodulation with last-sample carry (Demod.hs:39-46)."""
@@ -173,6 +177,10 @@ class FmDemod(StreamOp):
     def apply(self, carry, x):
         y, last = demod.fm_demod(x, carry)
         return last, y
+
+    def shard_carry(self, x, axis_name):
+        from sdr_tpu.parallel.halo import left_halo
+        return left_halo(x, 1, axis_name)[..., 0]
 
 
 class AmDemod(StreamOp):
@@ -198,6 +206,12 @@ class Agc(StreamOp):
         y, g = scans.agc(x, self.mu, self.reference, carry)
         return g, y
 
+    def shard_carry(self, x, axis_name):
+        raise NotImplementedError(
+            "AGC's gain recurrence is nonlinear (|x|*g inside the update, "
+            "Util.hs:335-341) and cannot be time-sharded exactly; shard "
+            "channels instead, or place AGC after the time-sharded gather.")
+
 
 class DcBlocker(StreamOp):
     """DC blocking filter with (last_sample, last_output) carry
@@ -213,6 +227,27 @@ class DcBlocker(StreamOp):
     def apply(self, carry, x):
         y, new = scans.dc_blocker(x, carry[0], carry[1], self.alpha)
         return new, y
+
+    def shard_carry(self, x, axis_name):
+        """Exact time-sharding of the linear recurrence.
+
+        The block reduces to one affine map y -> alpha^n * y + B (B = local
+        scan of the differenced input from zero state); an exclusive prefix
+        composition across shards (tiny all_gather) yields the exact
+        recurrence state entering this shard.  See
+        parallel/halo.py:exclusive_affine_prefix.
+        """
+        from sdr_tpu.parallel.halo import (left_halo,
+                                           exclusive_affine_prefix)
+        last_sample = left_halo(x, 1, axis_name)[..., 0]
+        n = x.shape[-1]
+        # local affine reduction with zero entering state
+        y_local, _ = scans.dc_blocker(x, last_sample, 0.0, self.alpha)
+        a_blk = jnp.asarray(self.alpha, jnp.float32) ** n
+        b_blk = y_local[..., -1]
+        _, y_enter = exclusive_affine_prefix(
+            jnp.broadcast_to(a_blk, b_blk.shape), b_blk, axis_name)
+        return (last_sample, y_enter)
 
 
 class Scale(StreamOp):
@@ -253,6 +288,17 @@ class Mix(StreamOp):
         new = carry * step
         new = new / jnp.abs(new)
         return new, y
+
+    def shard_carry(self, x, axis_name):
+        """LO phase at shard start is closed-form (no communication):
+        exp(2*pi*j*freq*(shard_index * n))."""
+        idx = jax.lax.axis_index(axis_name)
+        n = x.shape[-1]
+        frac_per_shard = (self.freq * n) % 1.0  # python float, exact host math
+        frac = jnp.mod(jnp.asarray(frac_per_shard, jnp.float32)
+                       * idx.astype(jnp.float32), 1.0)
+        phasor = jnp.exp(2j * jnp.pi * frac).astype(jnp.complex64)
+        return jnp.broadcast_to(phasor, x.shape[:-1])
 
 
 class Map(StreamOp):
@@ -312,3 +358,7 @@ class FftStream(StreamOp):
         H = self.size - self.hop
         new = xext[..., xext.shape[-1] - H:] if H else carry
         return new, y
+
+    def shard_carry(self, x, axis_name):
+        from sdr_tpu.parallel.halo import left_halo
+        return left_halo(x, self.size - self.hop, axis_name)

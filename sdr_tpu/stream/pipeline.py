@@ -46,8 +46,13 @@ class Pipeline:
         # static rate/dtype propagation
         self.lens = [self.block_in]
         self.dtypes = [in_dtype]
-        for op in self.ops:
-            self.lens.append(op.out_len(self.lens[-1]))
+        for i, op in enumerate(self.ops):
+            try:
+                self.lens.append(op.out_len(self.lens[-1]))
+            except ValueError as e:
+                raise ValueError(
+                    f"stage {i} ({op!r}) rejects block of {self.lens[-1]} "
+                    f"samples: {e}") from None
             self.dtypes.append(op.out_dtype(self.dtypes[-1]))
         self.block_out = self.lens[-1]
         self.out_dtype = self.dtypes[-1]

@@ -1,0 +1,131 @@
+"""Sharded execution tests on the virtual 8-device CPU mesh.
+
+The multi-device analog of the reference's differential strategy: the
+sharded run must agree with the single-device run to the same tolerance
+(SURVEY.md §4 'the sharded run must agree ... which IS the multi-node
+test').  Exactness here is stronger: identical zero-padded-warmup
+semantics, so tolerances are float-roundoff only.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sdr_tpu import ops as O
+from sdr_tpu import parallel
+from sdr_tpu.stream import (Fir, FmDemod, DcBlocker, Scale, Mix,
+                            IqConvertU8, FftStream, Pipeline)
+
+
+def single_device_reference(op_list, x, block):
+    p = Pipeline(op_list, block_in=block, in_dtype=x.dtype,
+                 batch_shape=x.shape[:-1])
+    _, y = p.process(x)
+    return np.asarray(y)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return parallel.time_mesh(8)
+
+
+def test_left_halo(mesh8):
+    x = jnp.arange(64, dtype=jnp.float32)
+
+    def fn(xl):
+        return parallel.left_halo(xl, 3, "t")
+
+    y = jax.shard_map(fn, mesh=mesh8, in_specs=parallel.mesh.P("t"),
+                      out_specs=parallel.mesh.P("t"), check_vma=False)(x)
+    y = np.asarray(y).reshape(8, 3)
+    np.testing.assert_array_equal(y[0], [0, 0, 0])
+    np.testing.assert_array_equal(y[1], [5, 6, 7])
+    np.testing.assert_array_equal(y[7], [53, 54, 55])
+
+
+def test_time_sharded_fir_filter(rng, mesh8):
+    x = rng.uniform(-1, 1, 8192).astype(np.float32)
+    taps = rng.uniform(-1, 1, 63).astype(np.float32)
+    chain = [Fir.filter(taps)]
+    want = single_device_reference(chain, x, 1024)
+    got = np.asarray(parallel.run_time_sharded(chain, mesh8, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_time_sharded_full_fm_chain(rng, mesh8):
+    """The flagship: whole FM chain time-sharded across 8 devices equals the
+    single-device stream."""
+    rf = O.windowed_sinc(51, 0.1, O.hamming)
+    ars = O.windowed_sinc(31, 0.25, O.hamming)
+    afl = O.windowed_sinc(64, 0.5, O.hamming)
+    chain = [IqConvertU8(), Fir.decimator(rf, 8), FmDemod(),
+             Fir.resampler(ars, 3, 10), Fir.filter(afl), Scale(0.2)]
+    raw = rng.integers(0, 256, 81920 * 8).astype(np.uint8)
+    want = single_device_reference(chain, raw, 81920)
+    got = np.asarray(parallel.run_time_sharded(chain, mesh8,
+                                               jnp.asarray(raw)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_time_sharded_dc_blocker(rng, mesh8):
+    x = (rng.uniform(-1, 1, 8192) + 0.7).astype(np.float32)
+    chain = [DcBlocker()]
+    want = single_device_reference(chain, x, 1024)
+    got = np.asarray(parallel.run_time_sharded(chain, mesh8, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_time_sharded_mix(mesh8):
+    x = np.ones(8192, dtype=np.complex64)
+    chain = [Mix(0.05)]
+    want = single_device_reference(chain, x, 1024)
+    got = np.asarray(parallel.run_time_sharded(chain, mesh8, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_time_sharded_fft_stream(rng, mesh8):
+    x = (rng.normal(size=8192) + 1j * rng.normal(size=8192)).astype(
+        np.complex64)
+    chain = [FftStream(256, 128)]
+    p = Pipeline(chain, block_in=8192, in_dtype=x.dtype)
+    _, want = p.process(x)
+    got = np.asarray(parallel.run_time_sharded(chain, mesh8, jnp.asarray(x)))
+    # sharded output: per-shard frame batches concatenated along frames
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-3)
+
+
+def test_channel_sharded(rng, mesh8):
+    taps = O.windowed_sinc(33, 0.2, O.hamming)
+    chain = [Fir.decimator(taps, 4), FmDemod()]
+    x = (rng.normal(size=(8, 4096)) + 1j * rng.normal(size=(8, 4096))
+         ).astype(np.complex64)
+    mesh = parallel.make_mesh((8,), ("c",))
+    got = np.asarray(parallel.run_channel_sharded(chain, mesh,
+                                                  jnp.asarray(x)))
+    for c in range(8):
+        want = single_device_reference(chain, x[c], 4096)
+        np.testing.assert_allclose(got[c], want, atol=1e-4)
+
+
+def test_grid_sharded_channel_time(rng):
+    """2-D mesh {channel=2, time=4}: channelized FM chains, each channel's
+    stream time-sharded with halo exchange."""
+    mesh = parallel.channel_time_mesh(2, 4)
+    rf = O.windowed_sinc(51, 0.1, O.hamming)
+    chain = [Fir.decimator(rf, 8), FmDemod()]
+    x = (rng.normal(size=(4, 81920)) + 1j * rng.normal(size=(4, 81920))
+         ).astype(np.complex64)
+    got = np.asarray(parallel.run_grid_sharded(chain, mesh, jnp.asarray(x)))
+    for c in range(4):
+        want = single_device_reference(chain, x[c], 20480)
+        np.testing.assert_allclose(got[c], want, rtol=1e-4, atol=1e-4)
+
+
+def test_agc_time_sharding_raises(rng, mesh8):
+    from sdr_tpu.stream import Agc
+    x = (np.ones(8192) + 0j).astype(np.complex64)
+    with pytest.raises(NotImplementedError):
+        parallel.run_time_sharded([Agc(0.01, 1.0)], mesh8, jnp.asarray(x))
