@@ -1,0 +1,138 @@
+"""Benchmark driver: FM receive-chain throughput on the attached device.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: complex input samples/sec/chip through the full FM chain
+(u8 IQ -> convert -> decimate 8 -> FM demod -> 3/10 resample -> audio FIR
+-> scale), matching BASELINE.json's headline.  ``vs_baseline`` compares the
+per-chip rate against the north-star target of 10 GS/s aggregate on a
+v5e-16, i.e. 625 MS/s per chip.
+
+Extra per-kernel numbers go to stderr (and bench_details.json) so the JSON
+contract on stdout stays a single line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+BASELINE_PER_CHIP = 10e9 / 16  # BASELINE.md: >=10 GS/s aggregate on v5e-16
+
+
+def bench_fn(step, args, iters, warmup=3):
+    """Time a jitted (carry, x) -> (carry, y) step, chaining carries."""
+    c, x = args
+    c2, y = step(c, x)
+    jax.block_until_ready(y)
+    for _ in range(warmup):
+        c2, y = step(c2, x)
+    jax.block_until_ready(y)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        c2, y = step(c2, x)
+    jax.block_until_ready(y)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_chain(method: str, block: int, iters: int = 30):
+    from sdr_tpu.apps.chains import fm_chain
+    from sdr_tpu.stream import Pipeline
+
+    p = Pipeline(fm_chain(method=method), block_in=block,
+                 in_dtype=jnp.uint8)
+    step = jax.jit(p.apply)
+    raw = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, block, dtype=np.uint8))
+    dt = bench_fn(step, (p.init(), raw), iters)
+    return (block // 2) / dt  # complex input samples/sec
+
+
+def bench_kernels(block: int = 1 << 20, iters: int = 30):
+    """Per-kernel microbenchmarks (the Criterion matrix analog:
+    benchmarks/Benchmarks.hs:79-156 — 16384-sample blocks there; we use
+    2^20 so the chip is saturated)."""
+    from sdr_tpu.ops import fir
+    out = {}
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, block).astype(np.float32))
+    xc = jnp.asarray((rng.uniform(-1, 1, block)
+                      + 1j * rng.uniform(-1, 1, block)).astype(np.complex64))
+    taps128 = rng.uniform(-1, 1, 128).astype(np.float32)
+    for method in ("conv", "banded", "direct"):
+        for name, fn in {
+            f"filter_r_{method}": lambda m=method: fir.fir_filter(
+                taps128, x, block - 127, method=m),
+            f"filter_c_{method}": lambda m=method: fir.fir_decimate(
+                taps128, 1, xc, block - 127, method=m),
+            f"decimate_r_{method}": lambda m=method: fir.fir_decimate(
+                taps128, 4, x, (block - 128) // 4, method=m),
+        }.items():
+            g = jax.jit(fn)
+            jax.block_until_ready(g())
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                r = g()
+            jax.block_until_ready(r)
+            dt = (time.perf_counter() - t0) / iters
+            out[name] = block / dt  # input samples/sec
+    # resampler
+    res = jax.jit(lambda: fir.fir_resample(
+        rng.uniform(-1, 1, 128).astype(np.float32), 3, 4, x)[0])
+    jax.block_until_ready(res())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = res()
+    jax.block_until_ready(r)
+    out["resample_r_3_4"] = block / ((time.perf_counter() - t0) / iters)
+    return out
+
+
+def main():
+    block = 10_485_760  # 10 MiB u8 -> 5.24M complex samples / block
+    results = {}
+    best = None
+    for method in ("conv", "banded"):
+        try:
+            rate = bench_chain(method, block)
+            results[f"fm_chain_{method}"] = rate
+            if best is None or rate > best[1]:
+                best = (method, rate)
+        except Exception as e:  # noqa: BLE001
+            print(f"fm_chain_{method} failed: {e}", file=sys.stderr)
+    if best is None:
+        print(json.dumps({"metric": "fm_chain_samples_per_sec_per_chip",
+                          "value": 0, "unit": "complex S/s",
+                          "vs_baseline": 0.0}))
+        return 1
+
+    try:
+        results.update(bench_kernels())
+    except Exception as e:  # noqa: BLE001
+        print(f"kernel bench failed: {e}", file=sys.stderr)
+
+    for k, v in sorted(results.items()):
+        print(f"{k:28s} {v/1e9:9.3f} GS/s", file=sys.stderr)
+    try:
+        with open("bench_details.json", "w") as fh:
+            json.dump({k: float(v) for k, v in results.items()}, fh,
+                      indent=2)
+    except OSError:
+        pass
+
+    print(json.dumps({
+        "metric": "fm_chain_samples_per_sec_per_chip",
+        "value": round(best[1]),
+        "unit": "complex S/s",
+        "vs_baseline": round(best[1] / BASELINE_PER_CHIP, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,84 @@
+"""Canonical receive-chain constructors (the judged BASELINE configs).
+
+The tap sets are designed in-process with the framework's own design layer
+(ops/design.py) at the same band-edge specs the reference's example filters
+were designed to offline in Octave (examples/fm/Coeffs.hs comments:
+remez(50,[0 .08 .125 1]), remez(30,[0 .1 .3 1]), remez(63,[0 .3125 .39 1]))
+— designs are regenerated, not copied.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from sdr_tpu.ops import design
+from sdr_tpu.stream import (Agc, AmDemod, Fir, FftStream, FmDemod,
+                            IqConvertU8, IqConvertI16, Map, Mix, Pipeline,
+                            Scale)
+
+__all__ = ["fm_taps", "fm_chain", "am_chain", "waterfall_chain",
+           "channelizer_chain"]
+
+
+def fm_taps():
+    """(rf_decim 51, audio_resamp 31, audio_filter 64) tap sets for the
+    broadcast-FM chain, same specs as the reference's example."""
+    try:
+        rf = design.remez(51, [0, 0.08, 0.125, 1.0], [1, 0])
+        ars = design.remez(31, [0, 0.1, 0.3, 1.0], [1, 0])
+        afl = design.remez(64, [0, 0.3125, 0.39, 1.0], [1, 0])
+    except Exception:  # scipy unavailable: windowed-sinc fallback
+        rf = design.windowed_sinc(51, 0.1, design.hamming)
+        ars = design.windowed_sinc(31, 0.2, design.hamming)
+        afl = design.windowed_sinc(64, 0.35, design.hamming)
+    return rf, ars, afl
+
+
+def fm_chain(volume: float = 0.2, method: str = "auto"):
+    """Broadcast FM receiver ops (config #1; examples/fm/fm.hs:32-41):
+    u8 IQ -> decimate 8 -> FM demod -> 3/10 resample -> audio FIR -> volume.
+
+    1.28 MS/s in, 48 kS/s mono audio out.
+    """
+    rf, ars, afl = fm_taps()
+    return [IqConvertU8(),
+            Fir.decimator(rf, 8, method=method),
+            FmDemod(),
+            Fir.resampler(ars, 3, 10, method=method),
+            Fir.filter(afl, method=method),
+            Scale(volume)]
+
+
+def am_chain(if_freq: float = 0.25, decim: int = 16, agc_mu: float = 0.005,
+             volume: float = 0.5, method: str = "auto"):
+    """AM/airband receiver ops (config #4): u8 IQ -> mix the carrier at
+    ``if_freq`` (cycles/sample) to DC -> decimating channel filter ->
+    AGC -> envelope -> DC block -> volume."""
+    chan = design.windowed_sinc(64, 1.0 / decim, design.hamming)
+    return [IqConvertU8(),
+            Mix(-if_freq),
+            Fir.decimator(chan, decim, method=method),
+            Agc(agc_mu, 1.0),
+            AmDemod(),
+            Map(lambda x: x - jnp.mean(x, axis=-1, keepdims=True)),
+            Scale(volume)]
+
+
+def waterfall_chain(fft_size: int = 1024, hop: int = 512):
+    """Spectral waterfall ops (config #3): u8 IQ -> windowed overlapping
+    FFT rows (the fork->fftw->plotWaterfall chain of the reference)."""
+    return [IqConvertU8(),
+            FftStream(fft_size, hop, window=design.blackman(fft_size))]
+
+
+def channelizer_chain(n_channels: int = 64, method: str = "auto"):
+    """Multi-channel FM bank (config #5): input [n_channels, N] complex
+    baseband (one row per tuned channel), each demodulated independently.
+    Batched over the leading dim; shard rows over a mesh 'c' axis."""
+    rf, ars, afl = fm_taps()
+    return [Fir.decimator(rf, 8, method=method),
+            FmDemod(),
+            Fir.resampler(ars, 3, 10, method=method),
+            Fir.filter(afl, method=method),
+            Scale(0.2)]

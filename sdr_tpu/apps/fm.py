@@ -1,0 +1,56 @@
+"""Broadcast FM receiver CLI (the examples/fm/fm.hs app, recorded-file I/O).
+
+    python -m sdr_tpu.apps.fm --in capture.iq --out audio.wav \
+        --rate 1280K --block 1310720
+
+Reads RTL-SDR-format u8 interleaved IQ, writes 48 kHz mono WAV.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from sdr_tpu.apps.chains import fm_chain
+from sdr_tpu.io import iq_file_source, wav_sink
+from sdr_tpu.stream import Pipeline, rate as rate_meter
+from sdr_tpu.utils import parse_size
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--in", dest="inp", required=True,
+                    help="input raw u8 interleaved IQ file")
+    ap.add_argument("--out", default="audio.wav", help="output WAV file")
+    ap.add_argument("--rate", default="1280K", type=parse_size,
+                    help="input sample rate (complex S/s), e.g. 1280K")
+    ap.add_argument("--block", default="1310720", type=parse_size,
+                    help="u8 items per block (must keep chain rates integral)")
+    ap.add_argument("--volume", type=float, default=0.2)
+    ap.add_argument("--method", default="auto",
+                    choices=["auto", "direct", "banded", "conv", "pallas"])
+    ap.add_argument("--meter", action="store_true",
+                    help="print throughput while running")
+    args = ap.parse_args(argv)
+
+    audio_rate = args.rate // 8 * 3 // 10
+    pipe = Pipeline(fm_chain(args.volume, args.method),
+                    block_in=args.block, in_dtype=jnp.uint8)
+    write, close = wav_sink(args.out, audio_rate)
+    blocks = pipe.run(iq_file_source(args.inp, args.block))
+    if args.meter:
+        blocks = rate_meter(blocks, pipe.block_out)
+    n = 0
+    for y in blocks:
+        write(np.asarray(y))
+        n += pipe.block_out
+    close()
+    print(f"wrote {n} audio samples at {audio_rate} Hz to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,11 @@
+"""Host I/O: file and network sources/sinks feeding device pipelines."""
+
+from sdr_tpu.io.files import (  # noqa: F401
+    iq_file_source,
+    read_iq_file,
+    write_iq_file,
+    block_sink,
+    wav_sink,
+    IQ_DTYPES,
+)
+from sdr_tpu.io.net import udp_source, udp_sink  # noqa: F401

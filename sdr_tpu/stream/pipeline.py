@@ -25,7 +25,37 @@ import jax.numpy as jnp
 
 from sdr_tpu.stream.block import StreamOp
 
-__all__ = ["Pipeline"]
+__all__ = ["Pipeline", "pack_planar", "unpack_planar"]
+
+
+def _planarize(leaf):
+    """complex64 [..., n] -> planar float32 [2, ..., n] (TPU-native layout:
+    complex never appears in loop-carried buffers — XLA decomposes complex
+    math anyway, and some TPU runtimes reject complex loop state)."""
+    if jnp.iscomplexobj(leaf):
+        return jnp.stack([jnp.real(leaf), jnp.imag(leaf)], axis=0)
+    return leaf
+
+
+def _unplanarize(leaf, was_complex: bool):
+    if was_complex:
+        return jax.lax.complex(leaf[0], leaf[1])
+    return leaf
+
+
+def pack_planar(tree):
+    """Convert every complex leaf of a pytree to planar f32; returns
+    (packed_tree, flags) where flags records which leaves were complex."""
+    leaves, treedef = jax.tree.flatten(tree)
+    flags = tuple(bool(jnp.iscomplexobj(l)) for l in leaves)
+    packed = jax.tree.unflatten(treedef, [_planarize(l) for l in leaves])
+    return packed, flags
+
+
+def unpack_planar(packed, flags):
+    leaves, treedef = jax.tree.flatten(packed)
+    return jax.tree.unflatten(
+        treedef, [_unplanarize(l, f) for l, f in zip(leaves, flags)])
 
 
 class Pipeline:
@@ -84,15 +114,39 @@ class Pipeline:
         ``lax.scan`` (the whole stream resident on device).
 
         Returns (final_carries, out_blocks [num_blocks, ..., block_out]).
+
+        All loop-carried buffers are kept in planar-f32 form (complex
+        split into a leading [2, ...] axis): the TPU-native layout, and
+        required on runtimes that reject complex64 in loop state.
         """
         if carries is None:
             carries = self.init()
+        carries_p, cflags = pack_planar(carries)
+        xs_complex = bool(jnp.iscomplexobj(blocks))
+        if xs_complex:
+            blocks = jnp.stack([jnp.real(blocks), jnp.imag(blocks)], axis=1)
+        yflags = None
 
-        def step(c, xb):
+        def step(c_p, xb):
+            c = unpack_planar(c_p, cflags)
+            if xs_complex:
+                xb = jax.lax.complex(xb[0], xb[1])
             c, y = self.apply(c, xb)
-            return c, y
+            c_p, _ = pack_planar(c)
+            y_p, yf = pack_planar(y)
+            nonlocal yflags
+            yflags = yf
+            return c_p, y_p
 
-        return jax.lax.scan(step, carries, blocks)
+        final_p, ys_p = jax.lax.scan(step, carries_p, blocks)
+        final = unpack_planar(final_p, cflags)
+        # ys leaves: stacked [nb, ...]; complex ones carry the planar axis
+        # at position 1 -> recombine
+        leaves, treedef = jax.tree.flatten(ys_p)
+        leaves = [jax.lax.complex(l[:, 0], l[:, 1]) if f else l
+                  for l, f in zip(leaves, yflags)]
+        ys = jax.tree.unflatten(treedef, leaves)
+        return final, ys
 
     def run(self, source: Iterable[np.ndarray], carries=None):
         """Host drive loop over an iterator of blocks (live-source path).
@@ -122,15 +176,32 @@ class Pipeline:
         lead = x.shape[:-1]
         blocks = jnp.moveaxis(
             x.reshape(lead + (nblocks, self.block_in)), -2, 0)
+        if jax.default_backend() == "axon":
+            # the axon-tunneled TPU runtime miscompiles some scan-wrapped
+            # chains (see .claude/skills/verify/SKILL.md); drive with the
+            # jitted per-block step instead — same samples, same speed.
+            if carries is None:
+                carries = self.init()
+            step = jax.jit(self.apply)
+            out_blocks = []
+            for i in range(nblocks):
+                carries, y = step(carries, blocks[i])
+                out_blocks.append(y)
+            ys = jnp.stack(out_blocks, axis=0)
+            return carries, self._restack(ys, lead)
         carries, ys = self.scan(blocks, carries)
-        # ys: [nblocks, *lead, ...per-block-shape]
+        return carries, self._restack(ys, lead)
+
+    @staticmethod
+    def _restack(ys, lead):
+        """[nblocks, *lead, ...per-block] -> [*lead, stream, ...]"""
         per_block = ys.ndim - 1 - len(lead)
         stream_axis = ys.ndim - per_block  # first per-block axis
         out = jnp.moveaxis(ys, 0, stream_axis - 1)
         shape = (out.shape[: stream_axis - 1]
                  + (out.shape[stream_axis - 1] * out.shape[stream_axis],)
                  + out.shape[stream_axis + 1:])
-        return carries, out.reshape(shape)
+        return out.reshape(shape)
 
     # -- checkpoint / resume ----------------------------------------------
 

@@ -1,0 +1,203 @@
+"""IO layer and app CLI tests."""
+
+import socket
+import subprocess
+import sys
+import threading
+import wave
+
+import numpy as np
+import pytest
+
+from sdr_tpu.io import (iq_file_source, read_iq_file, write_iq_file,
+                        wav_sink, block_sink, udp_source, udp_sink)
+from sdr_tpu.utils import parse_size
+
+
+# --- files ---
+
+def test_iq_file_roundtrip(tmp_path, rng):
+    x = rng.integers(0, 256, 10000).astype(np.uint8)
+    p = tmp_path / "x.iq"
+    write_iq_file(p, x)
+    back = read_iq_file(p, "u8")
+    np.testing.assert_array_equal(back, x)
+    blocks = list(iq_file_source(p, 4096))
+    assert len(blocks) == 2  # trailing partial dropped
+    np.testing.assert_array_equal(np.concatenate(blocks), x[:8192])
+
+
+def test_iq_file_source_repeat(tmp_path, rng):
+    x = rng.integers(0, 256, 4096).astype(np.uint8)
+    p = tmp_path / "x.iq"
+    write_iq_file(p, x)
+    it = iq_file_source(p, 4096, repeat=True)
+    assert next(it) is not None
+    assert next(it) is not None  # loops
+
+
+def test_wav_sink(tmp_path):
+    p = tmp_path / "a.wav"
+    w, close = wav_sink(p, 48000)
+    w(np.sin(np.linspace(0, 100, 4800)))
+    close()
+    with wave.open(str(p)) as wf:
+        assert wf.getframerate() == 48000
+        assert wf.getnframes() == 4800
+        assert wf.getnchannels() == 1
+
+
+def test_block_sink(tmp_path, rng):
+    p = tmp_path / "o.f32"
+    w, close = block_sink(p, "f32")
+    a = rng.normal(size=100).astype(np.float32)
+    w(a)
+    w(a)
+    close()
+    back = read_iq_file(p, "f32")
+    assert back.shape == (200,)
+    np.testing.assert_allclose(back[:100], a)
+
+
+# --- UDP (wire-compatible with NetworkStream.hs: raw bytes, one block per
+# datagram) ---
+
+def test_udp_roundtrip(rng):
+    port = 23987
+    blocks_out = [rng.integers(0, 256, 2048).astype(np.uint8)
+                  for _ in range(5)]
+    received = []
+
+    def rx():
+        for b in udp_source(("127.0.0.1", port), 2048, timeout=5.0):
+            received.append(b)
+            if len(received) == 5:
+                break
+
+    t = threading.Thread(target=rx)
+    t.start()
+    import time
+    time.sleep(0.2)
+    send, close = udp_sink(("127.0.0.1", port))
+    for b in blocks_out:
+        send(b)
+        time.sleep(0.01)
+    t.join(timeout=10)
+    close()
+    assert len(received) == 5
+    for got, want in zip(received, blocks_out):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_udp_oversize_block_rejected():
+    send, close = udp_sink(("127.0.0.1", 9))
+    with pytest.raises(ValueError):
+        send(np.zeros(1 << 17, np.float32))
+    close()
+
+
+# --- parse_size (ArgUtils.hs:10-18) ---
+
+@pytest.mark.parametrize("s,want", [
+    ("1024", 1024), ("1K", 1000), ("90.2M", 90_200_000),
+    ("1.5G", 1_500_000_000), ("1280K", 1_280_000), (" 2M ", 2_000_000),
+])
+def test_parse_size(s, want):
+    assert parse_size(s) == want
+
+
+def test_parse_size_rejects():
+    with pytest.raises(ValueError):
+        parse_size("1.0001K")
+    with pytest.raises(ValueError):
+        parse_size("")
+
+
+# --- app CLIs end-to-end (subprocess on CPU backend) ---
+
+def _run_app(args, tmp_path):
+    env = dict(__import__("os").environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; from sdr_tpu.apps.%s import main; sys.exit(main(%r))"
+        % (args[0], args[1:]))
+    return subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, cwd=str(tmp_path))
+
+
+@pytest.fixture(scope="module")
+def fm_capture(tmp_path_factory):
+    """Synthetic FM broadcast: 700 Hz tone at 75 kHz deviation, 1.28 MS/s,
+    u8 interleaved."""
+    d = tmp_path_factory.mktemp("capture")
+    fs, n = 1_280_000, 1_310_720
+    t = np.arange(n) / fs
+    audio = np.sin(2 * np.pi * 700 * t)
+    phase = 2 * np.pi * 75e3 * np.cumsum(audio) / fs
+    iq = 0.9 * np.exp(1j * phase)
+    raw = np.empty(2 * n, dtype=np.uint8)
+    raw[0::2] = np.clip(np.round(iq.real * 128 + 128), 0, 255)
+    raw[1::2] = np.clip(np.round(iq.imag * 128 + 128), 0, 255)
+    p = d / "fm.iq"
+    raw.tofile(p)
+    return p
+
+
+def _dominant_tone(wav_path, rate):
+    with wave.open(str(wav_path)) as wf:
+        pcm = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+    seg = pcm[2000:].astype(np.float64)
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    return (np.argmax(spec[5:]) + 5) * rate / len(seg)
+
+
+def test_fm_app(fm_capture, tmp_path):
+    out = tmp_path / "audio.wav"
+    r = _run_app(["fm", "--in", str(fm_capture), "--out", str(out),
+                  "--block", "655360"], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    tone = _dominant_tone(out, 48000)
+    assert abs(tone - 700) < 10, f"tone {tone}"
+
+
+def test_waterfall_app(fm_capture, tmp_path):
+    out = tmp_path / "wf.png"
+    r = _run_app(["waterfall", "--in", str(fm_capture), "--out", str(out),
+                  "--block", "524288", "--fft", "256", "--hop", "128"],
+                 tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 1000
+
+
+def test_am_app(tmp_path):
+    # AM tone: carrier at +0.2 cycles/sample modulated by 500 Hz
+    fs, n = 1_280_000, 1_048_576
+    t = np.arange(n) / fs
+    msg = 0.5 * (1 + 0.8 * np.sin(2 * np.pi * 500 * t))
+    iq = msg * np.exp(2j * np.pi * 0.2 * np.arange(n))
+    raw = np.empty(2 * n, dtype=np.uint8)
+    raw[0::2] = np.clip(np.round(iq.real * 128 + 128), 0, 255)
+    raw[1::2] = np.clip(np.round(iq.imag * 128 + 128), 0, 255)
+    cap = tmp_path / "am.iq"
+    raw.tofile(cap)
+    out = tmp_path / "am.wav"
+    r = _run_app(["am", "--in", str(cap), "--out", str(out),
+                  "--if-freq", "0.2", "--decim", "16",
+                  "--block", "1048576"], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with wave.open(str(out)) as wf:
+        rate = wf.getframerate()
+        pcm = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+    assert rate == 80000
+    seg = pcm[10000:].astype(np.float64)
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    tone = (np.argmax(spec[5:]) + 5) * rate / len(seg)
+    assert abs(tone - 500) < 10, f"tone {tone}"
+
+
+def test_channelizer_app(tmp_path):
+    r = _run_app(["channelizer", "--synthetic", "--channels", "8",
+                  "--seconds", "0.05"], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "demodulated 8 channels" in r.stdout
