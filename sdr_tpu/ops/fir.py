@@ -293,7 +293,7 @@ def _dispatch(taps_np: np.ndarray, x, num: int, factor: int, method: str):
         y = _fir_conv(jnp.asarray(taps_np), xr, num, factor)
     elif method == "pallas":
         from sdr_tpu.kernels import fir_pallas
-        y = fir_pallas.fir_strided(jnp.asarray(taps_np), xr, num, factor)
+        y = fir_pallas.fir_strided(taps_np, xr, num, factor)
     else:
         raise ValueError(f"unknown method {method!r}")
     return rebuild(y)

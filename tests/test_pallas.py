@@ -1,0 +1,64 @@
+"""Pallas kernel differential tests (interpret mode on CPU; the same
+kernels compile for TPU and are benchmarked there by bench.py)."""
+
+import numpy as np
+import pytest
+
+from sdr_tpu.ops import fir
+from sdr_tpu.kernels import fir_strided
+from oracles import filter_oracle, decimate_oracle
+
+TOL = 0.01
+
+
+@pytest.mark.parametrize("ntaps", [32, 51, 128, 300])
+def test_pallas_filter_real(rng, ntaps):
+    n = 4096
+    x = rng.uniform(-10, 10, n).astype(np.float32)
+    taps = rng.uniform(-1, 1, ntaps).astype(np.float32)
+    num = n - ntaps + 1
+    got = np.asarray(fir_strided(taps, x, num, 1, interpret=True))
+    want = filter_oracle(taps, x, num)
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
+@pytest.mark.parametrize("factor", [2, 4, 8])
+def test_pallas_decimate_real(rng, factor):
+    n, ntaps = 8192, 51
+    x = rng.uniform(-10, 10, n).astype(np.float32)
+    taps = rng.uniform(-1, 1, ntaps).astype(np.float32)
+    num = (n - ntaps) // factor + 1
+    got = np.asarray(fir_strided(taps, x, num, factor, interpret=True))
+    want = decimate_oracle(taps, factor, x, num)
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
+def test_pallas_batched(rng):
+    x = rng.uniform(-1, 1, (3, 2048)).astype(np.float32)
+    taps = rng.uniform(-1, 1, 33).astype(np.float32)
+    num = 2048 - 33 + 1
+    got = np.asarray(fir_strided(taps, x, num, 1, interpret=True))
+    assert got.shape == (3, num)
+    np.testing.assert_allclose(got[1], filter_oracle(taps, x[1], num),
+                               atol=TOL)
+
+
+def test_pallas_complex_via_dispatch(rng):
+    """method='pallas' through the public op (complex handled as 2-row
+    real batch)."""
+    n, ntaps, f = 4096, 51, 8
+    x = (rng.uniform(-1, 1, n) + 1j * rng.uniform(-1, 1, n)).astype(
+        np.complex64)
+    taps = rng.uniform(-1, 1, ntaps).astype(np.float32)
+    num = (n - ntaps) // f + 1
+    got = np.asarray(fir.fir_decimate(taps, f, x, num, method="pallas"))
+    want = decimate_oracle(taps, f, x.astype(np.complex128), num)
+    assert np.abs(got - want).max() < TOL
+
+
+def test_pallas_short_output(rng):
+    """num smaller than one tile still works (padding path)."""
+    x = rng.uniform(-1, 1, 600).astype(np.float32)
+    taps = rng.uniform(-1, 1, 33).astype(np.float32)
+    got = np.asarray(fir_strided(taps, x, 100, 1, interpret=True))
+    np.testing.assert_allclose(got, filter_oracle(taps, x, 100), atol=TOL)
