@@ -9,3 +9,9 @@ from sdr_tpu.io.files import (  # noqa: F401
     IQ_DTYPES,
 )
 from sdr_tpu.io.net import udp_source, udp_sink  # noqa: F401
+from sdr_tpu.io.native import (  # noqa: F401
+    native_file_source,
+    native_udp_source,
+    native_available,
+    build_native,
+)
