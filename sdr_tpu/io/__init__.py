@@ -15,3 +15,4 @@ from sdr_tpu.io.native import (  # noqa: F401
     native_available,
     build_native,
 )
+from sdr_tpu.io.plot import plot_line, plot_fill, Waterfall  # noqa: F401

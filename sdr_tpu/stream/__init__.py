@@ -16,3 +16,13 @@ from sdr_tpu.stream.ops import (  # noqa: F401
 )
 from sdr_tpu.stream.pipeline import Pipeline  # noqa: F401
 from sdr_tpu.stream.rate import rate, Timer  # noqa: F401
+from sdr_tpu.stream.sources import (  # noqa: F401
+    stream_string,
+    stream_random,
+    fork,
+    devnull,
+    print_sink,
+    tone,
+    noise,
+    fm_mod,
+)

@@ -1,2 +1,9 @@
 from sdr_tpu.utils.args import parse_size  # noqa: F401
 from sdr_tpu.utils.host import to_host  # noqa: F401
+from sdr_tpu.utils.device import (  # noqa: F401
+    device_kind,
+    on_tpu,
+    best_method,
+    feature_select,
+)
+from sdr_tpu.utils.profiling import trace, profile, timed  # noqa: F401

@@ -1,0 +1,49 @@
+"""Device capability query and kernel-variant selection.
+
+The analog of the reference's CPUID layer (hs_sources/SDR/CPUID.hs):
+there, ``featureSelect`` picks the fastest SIMD implementation the host
+supports (CPUID.hs:100-104); here there is one ISA (the TPU), but multiple
+execution strategies (XLA conv / banded matmul / Pallas kernel / gather)
+whose relative speed depends on device generation and problem shape.
+``best_method`` is the dispatch point; measured defaults favor XLA's conv
+lowering on TPU and the direct path on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+__all__ = ["device_kind", "on_tpu", "best_method", "feature_select"]
+
+
+@functools.cache
+def device_kind() -> str:
+    return jax.devices()[0].device_kind
+
+
+@functools.cache
+def on_tpu() -> bool:
+    return "TPU" in device_kind() or jax.default_backend() in ("tpu", "axon")
+
+
+def best_method(n_taps: int, factor: int = 1, num: int = 1 << 20) -> str:
+    """Pick an execution path for a strided FIR of this shape."""
+    if not on_tpu():
+        return "direct" if num < 4096 else "conv"
+    # TPU: conv lowering fuses with neighbors and wins for small/medium
+    # taps; the Pallas banded kernel wins once the band is dense enough to
+    # amortize its window loads (large taps, unit stride).
+    if factor == 1 and n_taps >= 256:
+        return "pallas"
+    return "conv"
+
+
+def feature_select(table, default: str = "conv") -> str:
+    """featureSelect analog: first available strategy from ``table``
+    ([(predicate(), value), ...]) else ``default``."""
+    for pred, val in table:
+        if pred:
+            return val
+    return default

@@ -1,0 +1,79 @@
+"""Tests for sources, plot consumers, device dispatch, profiling."""
+
+import numpy as np
+import pytest
+
+from sdr_tpu.stream import (stream_string, stream_random, fork, devnull,
+                            tone, noise, fm_mod)
+from sdr_tpu.io import plot_line, plot_fill, Waterfall
+from sdr_tpu.utils import best_method, device_kind, timed, trace
+from sdr_tpu import ops
+
+
+def test_stream_string_bits():
+    it = stream_string(b"\x01\x80", 16)
+    blk = next(it)
+    # LSB-first: byte 0x01 -> bit0=1 others 0; 0x80 -> bit7=1
+    want = np.full(16, -1.0, np.float32)
+    want[0] = 1.0
+    want[15] = 1.0
+    np.testing.assert_array_equal(blk, want)
+    # repeats
+    np.testing.assert_array_equal(next(it), want)
+
+
+def test_stream_string_wraps_mid_block():
+    it = stream_string(b"\xff", 12)
+    np.testing.assert_array_equal(next(it), np.ones(12, np.float32))
+
+
+def test_stream_random():
+    it = stream_random(256, seed=1)
+    a, b = next(it), next(it)
+    assert set(np.unique(a)) <= {-1.0, 1.0}
+    assert not np.array_equal(a, b)
+
+
+def test_fork_and_devnull():
+    seen = []
+    fork([np.zeros(4)] * 3, seen.append, seen.append)
+    assert len(seen) == 6
+    assert devnull(iter([1, 2, 3])) == 3
+
+
+def test_tone_noise_fm_mod():
+    t = tone(0.1, 1000)
+    spec = np.abs(np.fft.fft(t))
+    assert np.argmax(spec) == 100
+    n = noise(1000, scale=2.0)
+    assert abs(np.sqrt(np.mean(np.abs(n) ** 2)) - 2.0) < 0.2
+    audio = np.sin(2 * np.pi * 0.01 * np.arange(1000))
+    iq = fm_mod(audio, 0.1, 1.0)
+    y, _ = ops.fm_demod(iq)
+    np.testing.assert_allclose(np.asarray(y)[1:],
+                               2 * np.pi * 0.1 * audio[1:], atol=1e-2)
+
+
+def test_plots(tmp_path, rng):
+    y = rng.normal(size=256)
+    plot_line(y, str(tmp_path / "l.png"), title="t")
+    plot_fill(np.abs(y), str(tmp_path / "f.png"))
+    wf = Waterfall(64, rows=32)
+    for _ in range(5):
+        wf.push(rng.uniform(0.1, 1.0, (3, 64)))
+    wf.save(str(tmp_path / "w.png"))
+    for f in ["l.png", "f.png", "w.png"]:
+        assert (tmp_path / f).stat().st_size > 500
+
+
+def test_best_method_cpu():
+    assert best_method(64, 8) in {"conv", "direct", "banded", "pallas"}
+    assert isinstance(device_kind(), str)
+
+
+def test_timed_and_trace(capsys):
+    with timed("x"):
+        pass
+    assert "x:" in capsys.readouterr().out
+    with trace("region"):
+        pass
