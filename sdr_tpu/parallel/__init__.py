@@ -16,3 +16,10 @@ from sdr_tpu.parallel.sharded import (  # noqa: F401
     run_channel_sharded,
     run_grid_sharded,
 )
+from sdr_tpu.parallel import mesh  # noqa: F401
+from sdr_tpu.parallel.multihost import (  # noqa: F401
+    init_distributed,
+    local_time_span,
+    global_time_sharded,
+    host_block_iterator,
+)
