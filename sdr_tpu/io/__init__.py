@@ -16,3 +16,10 @@ from sdr_tpu.io.native import (  # noqa: F401
     build_native,
 )
 from sdr_tpu.io.plot import plot_line, plot_fill, Waterfall  # noqa: F401
+from sdr_tpu.io.serialize import (  # noqa: F401
+    to_bytes,
+    from_bytes,
+    frame_blocks,
+    write_framed,
+    read_framed,
+)

@@ -272,18 +272,18 @@ def _fir_conv(taps_dev, x, num: int, factor: int):
     return y.reshape(lead + (-1,))[..., :num]
 
 
-def _pick_method(method: str, num: int, factor: int) -> str:
+def _pick_method(method: str, num: int, factor: int, n_taps: int) -> str:
     if method != "auto":
         return method
-    # Banded matmul needs enough output tiles to amortize; conv is the
-    # robust MXU default; direct for tiny problems.
     if num < LANE:
         return "direct"
-    return "conv"
+    # device-aware dispatch (the featureSelect analog, utils/device.py)
+    from sdr_tpu.utils.device import best_method
+    return best_method(n_taps, factor, num)
 
 
 def _dispatch(taps_np: np.ndarray, x, num: int, factor: int, method: str):
-    method = _pick_method(method, num, factor)
+    method = _pick_method(method, num, factor, taps_np.shape[0])
     xr, rebuild = _as_real_batch(x)
     if method == "direct":
         y = _fir_direct(jnp.asarray(taps_np), xr, num, factor)

@@ -201,3 +201,36 @@ def test_channelizer_app(tmp_path):
                   "--seconds", "0.05"], tmp_path)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "demodulated 8 channels" in r.stdout
+
+
+# --- serialization (Serialize.hs parity) ---
+
+def test_serialize_raw_roundtrip(rng):
+    from sdr_tpu.io import to_bytes, from_bytes
+    x = rng.normal(size=100).astype(np.complex64)
+    np.testing.assert_array_equal(from_bytes(to_bytes(x), np.complex64), x)
+
+
+def test_serialize_framed_roundtrip(tmp_path, rng):
+    from sdr_tpu.io import write_framed, read_framed
+    blocks = [rng.normal(size=64).astype(np.float32),
+              rng.integers(0, 255, 32).astype(np.uint8),
+              rng.normal(size=16).astype(np.complex64)]
+    p = tmp_path / "s.bin"
+    assert write_framed(p, blocks) == 3
+    back = list(read_framed(p))
+    assert len(back) == 3
+    for a, b in zip(back, blocks):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(a, b)
+
+
+def test_serialize_truncated_frame(tmp_path, rng):
+    from sdr_tpu.io import write_framed, read_framed, frame_blocks
+    p = tmp_path / "s.bin"
+    data = frame_blocks(rng.normal(size=64).astype(np.float32))
+    with open(p, "wb") as fh:
+        fh.write(data)
+        fh.write(data[: len(data) // 2])  # truncated second frame
+    back = list(read_framed(p))
+    assert len(back) == 1
