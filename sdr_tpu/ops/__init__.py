@@ -42,3 +42,7 @@ from sdr_tpu.ops.design import (  # noqa: F401
     frequency_response,
     plot_frequency,
 )
+from sdr_tpu.ops.channelize import (  # noqa: F401
+    polyphase_channelize,
+    channelizer_taps,
+)

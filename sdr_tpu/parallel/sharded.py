@@ -51,6 +51,17 @@ def time_sharded_fn(ops: Sequence[StreamOp], axis_name: str = "t"):
     return fn
 
 
+def _out_spec(ops: Sequence[StreamOp], in_ndim: int, axis_name: str):
+    """Output PartitionSpec: ops may add per-block dims (FftStream frames,
+    Channelize channels) and relocate the stream/time axis."""
+    extra = sum(getattr(op, "extra_block_dims", 0) for op in ops)
+    t_axis = ops[-1].time_axis_out if ops else -1
+    rank = in_ndim + extra
+    names = [None] * rank
+    names[rank + t_axis if t_axis < 0 else t_axis] = axis_name
+    return P(*names)
+
+
 def run_time_sharded(ops: Sequence[StreamOp], mesh: Mesh, x,
                      axis_name: str = "t", extra_specs=()):
     """Process a global signal [..., N] sharded along time.
@@ -68,7 +79,8 @@ def run_time_sharded(ops: Sequence[StreamOp], mesh: Mesh, x,
              batch_shape=x.shape[:-1])
     spec = P(*([None] * (x.ndim - 1) + [axis_name]))
     fn = time_sharded_fn(ops, axis_name)
-    sharded = jax.shard_map(fn, mesh=mesh, in_specs=spec, out_specs=spec,
+    sharded = jax.shard_map(fn, mesh=mesh, in_specs=spec,
+                            out_specs=_out_spec(ops, x.ndim, axis_name),
                             check_vma=False)
     return sharded(x)
 
@@ -99,7 +111,10 @@ def run_grid_sharded(ops: Sequence[StreamOp], mesh: Mesh, x,
     """2-D sharding: [..., C, N] with channels over ``channel_axis`` and
     time over ``time_axis`` (halo exchange on the inner time axis)."""
     spec = P(*([None] * (x.ndim - 2) + [channel_axis, time_axis]))
+    out = _out_spec(ops, x.ndim, time_axis)
+    out = P(*(list(out)[: x.ndim - 2] + [channel_axis]
+              + list(out)[x.ndim - 1:]))
     fn = time_sharded_fn(ops, time_axis)
-    sharded = jax.shard_map(fn, mesh=mesh, in_specs=spec, out_specs=spec,
+    sharded = jax.shard_map(fn, mesh=mesh, in_specs=spec, out_specs=out,
                             check_vma=False)
     return sharded(x)

@@ -45,6 +45,12 @@ class StreamOp:
       * ``apply(carry, x)``         — the pure block transform
     """
 
+    #: per-block dims this op adds (FftStream/Channelize emit 2-D blocks)
+    extra_block_dims: int = 0
+    #: which output axis is the stream/time axis (-1 for sample streams;
+    #: FftStream's frame axis is -2)
+    time_axis_out: int = -1
+
     def out_len(self, n_in: int) -> int:
         return n_in
 

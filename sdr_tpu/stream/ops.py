@@ -31,11 +31,12 @@ import jax
 import jax.numpy as jnp
 
 from sdr_tpu.ops import convert, demod, design, fftops, fir, scans, shift
+from sdr_tpu.ops import channelize as chanz
 from sdr_tpu.stream.block import StreamOp
 
 __all__ = [
     "IqConvertU8", "IqConvertI16", "Fir", "FmDemod", "AmDemod", "Agc",
-    "DcBlocker", "Scale", "Mix", "Map", "FftStream",
+    "DcBlocker", "Scale", "Mix", "Map", "FftStream", "Channelize",
 ]
 
 
@@ -325,6 +326,9 @@ class FftStream(StreamOp):
     samples.
     """
 
+    extra_block_dims = 1
+    time_axis_out = -2
+
     def __init__(self, size: int, hop: Optional[int] = None, window=None,
                  shift: bool = True, magnitude: bool = True):
         self.size = size
@@ -362,3 +366,49 @@ class FftStream(StreamOp):
     def shard_carry(self, x, axis_name):
         from sdr_tpu.parallel.halo import left_halo
         return left_halo(x, self.size - self.hop, axis_name)
+
+
+class Channelize(StreamOp):
+    """Streaming polyphase DFT-filterbank: [..., n] wideband complex ->
+    [..., C, n/C] channel streams (ops/channelize.py).
+
+    Carry: the trailing (P-1)*C wideband samples so every block emits
+    exactly n/C samples per channel with seamless branch-filter history.
+    Typically followed by batched per-channel ops (the leading C axis
+    broadcasts through every other StreamOp) — the wideband front end of
+    the 64-channel FM bank (BASELINE config #5).
+    """
+
+    extra_block_dims = 1
+    time_axis_out = -1
+
+    def __init__(self, taps, n_channels: int):
+        self.n_channels = int(n_channels)
+        taps = np.asarray(taps, dtype=np.float32)
+        self.taps_per_branch = -(-taps.shape[0] // self.n_channels)
+        self.taps = taps
+
+    def out_len(self, n_in):
+        if n_in % self.n_channels:
+            raise ValueError("block must be divisible by channel count")
+        return n_in // self.n_channels
+
+    def out_dtype(self, in_dtype):
+        return jnp.complex64
+
+    def init_carry(self, n_in, in_dtype, batch_shape=()):
+        H = (self.taps_per_branch - 1) * self.n_channels
+        return jnp.zeros(batch_shape + (H,), dtype=in_dtype)
+
+    def apply(self, carry, x):
+        xext = jnp.concatenate([carry, x], axis=-1)
+        y = chanz.polyphase_channelize(self.taps, self.n_channels, xext,
+                                       x.shape[-1] // self.n_channels)
+        H = carry.shape[-1]
+        new = xext[..., xext.shape[-1] - H:] if H else carry
+        return new, y
+
+    def shard_carry(self, x, axis_name):
+        from sdr_tpu.parallel.halo import left_halo
+        return left_halo(x, (self.taps_per_branch - 1) * self.n_channels,
+                         axis_name)
