@@ -53,43 +53,62 @@ def bench_chain(method: str, block: int, iters: int = 30):
     return (block // 2) / dt  # complex input samples/sec
 
 
+def _time_jit(fn, iters=30):
+    g = jax.jit(fn)
+    jax.block_until_ready(g())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = g()
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
 def bench_kernels(block: int = 1 << 20, iters: int = 30):
-    """Per-kernel microbenchmarks (the Criterion matrix analog:
-    benchmarks/Benchmarks.hs:79-156 — 16384-sample blocks there; we use
-    2^20 so the chip is saturated)."""
-    from sdr_tpu.ops import fir
+    """Per-kernel microbenchmarks — the Criterion variant matrix analog
+    (benchmarks/Benchmarks.hs:79-156: {filter, decimate, resample} x
+    {real, complex} x implementations + conversion + scale; tap-count
+    sweep per BASELINE config #2).  Rates are input samples/sec."""
+    from sdr_tpu.ops import fir, convert, scans, fftops
     out = {}
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-1, 1, block).astype(np.float32))
     xc = jnp.asarray((rng.uniform(-1, 1, block)
                       + 1j * rng.uniform(-1, 1, block)).astype(np.complex64))
+    methods = ("conv", "banded", "direct", "pallas")
+    for ntaps in (32, 128, 512):
+        taps = rng.uniform(-1, 1, ntaps).astype(np.float32)
+        for method in methods:
+            try:
+                dt = _time_jit(lambda m=method, t=taps, k=ntaps:
+                               fir.fir_filter(t, x, block - k + 1, method=m),
+                               iters)
+                out[f"filter_r_k{ntaps}_{method}"] = block / dt
+            except Exception as e:  # noqa: BLE001
+                print(f"filter k{ntaps} {method}: {e}", file=sys.stderr)
     taps128 = rng.uniform(-1, 1, 128).astype(np.float32)
-    for method in ("conv", "banded", "direct"):
-        for name, fn in {
-            f"filter_r_{method}": lambda m=method: fir.fir_filter(
-                taps128, x, block - 127, method=m),
-            f"filter_c_{method}": lambda m=method: fir.fir_decimate(
-                taps128, 1, xc, block - 127, method=m),
-            f"decimate_r_{method}": lambda m=method: fir.fir_decimate(
-                taps128, 4, x, (block - 128) // 4, method=m),
-        }.items():
-            g = jax.jit(fn)
-            jax.block_until_ready(g())
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                r = g()
-            jax.block_until_ready(r)
-            dt = (time.perf_counter() - t0) / iters
-            out[name] = block / dt  # input samples/sec
-    # resampler
-    res = jax.jit(lambda: fir.fir_resample(
-        rng.uniform(-1, 1, 128).astype(np.float32), 3, 4, x)[0])
-    jax.block_until_ready(res())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = res()
-    jax.block_until_ready(r)
-    out["resample_r_3_4"] = block / ((time.perf_counter() - t0) / iters)
+    for method in methods:
+        try:
+            dt = _time_jit(lambda m=method: fir.fir_decimate(
+                taps128, 4, x, (block - 128) // 4, method=m), iters)
+            out[f"decimate_r_k128_{method}"] = block / dt
+            dt = _time_jit(lambda m=method: fir.fir_decimate(
+                taps128, 1, xc, block - 127, method=m), iters)
+            out[f"filter_c_k128_{method}"] = block / dt
+        except Exception as e:  # noqa: BLE001
+            print(f"decimate {method}: {e}", file=sys.stderr)
+    out["resample_r_3_4"] = block / _time_jit(
+        lambda: fir.fir_resample(taps128, 3, 4, x)[0], iters)
+    out["resample_c_3_4"] = block / _time_jit(
+        lambda: fir.fir_resample(taps128, 3, 4, xc)[0], iters)
+    # conversion / scale / fft (convert.c, scale.c, FFT.hs analogs)
+    raw = jnp.asarray(rng.integers(0, 256, block, dtype=np.uint8))
+    out["convert_u8"] = block / _time_jit(
+        lambda: jnp.abs(convert.iq_u8_to_cfloat(raw)), iters)
+    out["scale"] = block / _time_jit(lambda: convert.scale(0.3, x), iters)
+    out["fft_1024_batch"] = block / _time_jit(
+        lambda: jnp.abs(fftops.fft(xc.reshape(-1, 1024))), iters)
+    out["dc_blocker"] = block / _time_jit(
+        lambda: scans.dc_blocker(x)[0], iters)
     return out
 
 

@@ -72,13 +72,28 @@ def waterfall_chain(fft_size: int = 1024, hop: int = 512):
             FftStream(fft_size, hop, window=design.blackman(fft_size))]
 
 
-def channelizer_chain(n_channels: int = 64, method: str = "auto"):
-    """Multi-channel FM bank (config #5): input [n_channels, N] complex
-    baseband (one row per tuned channel), each demodulated independently.
-    Batched over the leading dim; shard rows over a mesh 'c' axis."""
+def channelizer_chain(n_channels: int = 64, method: str = "auto",
+                      wideband: bool = False):
+    """Multi-channel FM bank (config #5).
+
+    ``wideband=False``: input [n_channels, N] complex baseband (one row
+    per tuned channel), each demodulated independently — batched over the
+    leading dim, shard rows over a mesh 'c' axis.
+
+    ``wideband=True``: input is ONE wideband complex stream at
+    n_channels * 1.28 MS/s; a polyphase DFT filterbank splits it into the
+    per-channel basebands first (ops/channelize.py), then the same
+    per-channel chain runs batched over the emitted channel axis.
+    """
+    from sdr_tpu.stream import Channelize
+    from sdr_tpu.ops.channelize import channelizer_taps
     rf, ars, afl = fm_taps()
-    return [Fir.decimator(rf, 8, method=method),
-            FmDemod(),
-            Fir.resampler(ars, 3, 10, method=method),
-            Fir.filter(afl, method=method),
-            Scale(0.2)]
+    per_channel = [Fir.decimator(rf, 8, method=method),
+                   FmDemod(),
+                   Fir.resampler(ars, 3, 10, method=method),
+                   Fir.filter(afl, method=method),
+                   Scale(0.2)]
+    if wideband:
+        return [Channelize(channelizer_taps(n_channels, 12), n_channels),
+                *per_channel]
+    return per_channel

@@ -40,10 +40,15 @@ def synthesize(n_channels: int, n: int, fs: float, seed: int = 0):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--in", dest="inp", help="raw c64 file [channels, N]")
+    ap.add_argument("--in", dest="inp", help="raw c64 file: [channels, N] "
+                    "rows, or one wideband stream with --wideband")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--wideband", action="store_true",
+                    help="input is one wideband stream at channels*rate; "
+                    "split with the polyphase DFT filterbank first")
     ap.add_argument("--channels", type=int, default=64)
-    ap.add_argument("--rate", default="1280K", type=parse_size)
+    ap.add_argument("--rate", default="1280K", type=parse_size,
+                    help="per-channel sample rate")
     ap.add_argument("--seconds", type=float, default=0.5)
     ap.add_argument("--out-prefix", default=None,
                     help="write per-channel WAVs with this prefix")
@@ -53,18 +58,40 @@ def main(argv=None):
     n = int(args.rate * args.seconds) // 80 * 80
     if args.synthetic or not args.inp:
         x = synthesize(args.channels, n, args.rate)
+        if args.wideband:
+            # stack the channels onto one wideband carrier grid
+            C = args.channels
+            k = np.arange(C * n)
+            wide = np.zeros(C * n, dtype=np.complex64)
+            for c in range(C):
+                up = np.zeros(C * n, dtype=np.complex64)
+                up[::C] = x[c]  # naive upsample; filterbank rejects images
+                wide += up * np.exp(2j * np.pi * (c / C) * k).astype(
+                    np.complex64)
+            x = wide
     else:
         x = np.fromfile(args.inp, dtype=np.complex64)
-        x = x[: (len(x) // args.channels // 80) * 80 * args.channels]
-        x = x.reshape(args.channels, -1)
+        if not args.wideband:
+            x = x[: (len(x) // args.channels // 80) * 80 * args.channels]
+            x = x.reshape(args.channels, -1)
 
-    chain = channelizer_chain(args.channels, method=args.method)
+    chain = channelizer_chain(args.channels, method=args.method,
+                              wideband=args.wideband)
     n_dev = len(jax.devices())
-    n_c = min(n_dev, args.channels)
-    while args.channels % n_c:
-        n_c -= 1
-    mesh = parallel.make_mesh((n_c,), ("c",))
-    y = parallel.run_channel_sharded(chain, mesh, jnp.asarray(x))
+    if args.wideband:
+        x = x[: (len(x) // (args.channels * 80)) * args.channels * 80]
+        n_t = n_dev
+        while (len(x) // args.channels) % (n_t * 80) or len(x) % n_t:
+            n_t -= 1
+        mesh = parallel.make_mesh((n_t,), ("t",))
+        y = parallel.run_time_sharded(chain, mesh, jnp.asarray(x))
+        n_c = n_t
+    else:
+        n_c = min(n_dev, args.channels)
+        while args.channels % n_c:
+            n_c -= 1
+        mesh = parallel.make_mesh((n_c,), ("c",))
+        y = parallel.run_channel_sharded(chain, mesh, jnp.asarray(x))
     y = np.asarray(jax.block_until_ready(y))
     audio_rate = args.rate // 8 * 3 // 10
     print(f"demodulated {y.shape[0]} channels x {y.shape[1]} samples "

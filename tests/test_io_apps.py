@@ -234,3 +234,10 @@ def test_serialize_truncated_frame(tmp_path, rng):
         fh.write(data[: len(data) // 2])  # truncated second frame
     back = list(read_framed(p))
     assert len(back) == 1
+
+
+def test_channelizer_app_wideband(tmp_path):
+    r = _run_app(["channelizer", "--synthetic", "--wideband",
+                  "--channels", "4", "--seconds", "0.02"], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "demodulated 4 channels" in r.stdout
