@@ -34,13 +34,20 @@ def main(argv=None):
                     choices=["auto", "direct", "banded", "conv", "pallas"])
     ap.add_argument("--meter", action="store_true",
                     help="print throughput while running")
+    ap.add_argument("--native", action="store_true",
+                    help="ingest via the C++ ring-buffer loader")
     args = ap.parse_args(argv)
 
     audio_rate = args.rate // 8 * 3 // 10
     pipe = Pipeline(fm_chain(args.volume, args.method),
                     block_in=args.block, in_dtype=jnp.uint8)
     write, close = wav_sink(args.out, audio_rate)
-    blocks = pipe.run(iq_file_source(args.inp, args.block))
+    if args.native:
+        from sdr_tpu.io import native_file_source
+        source = native_file_source(args.inp, args.block)
+    else:
+        source = iq_file_source(args.inp, args.block)
+    blocks = pipe.run(source)
     if args.meter:
         blocks = rate_meter(blocks, pipe.block_out)
     n = 0

@@ -241,3 +241,12 @@ def test_channelizer_app_wideband(tmp_path):
                   "--channels", "4", "--seconds", "0.02"], tmp_path)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "demodulated 4 channels" in r.stdout
+
+
+def test_fm_app_native_loader(fm_capture, tmp_path):
+    out = tmp_path / "audio_native.wav"
+    r = _run_app(["fm", "--in", str(fm_capture), "--out", str(out),
+                  "--block", "655360", "--native"], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    tone = _dominant_tone(out, 48000)
+    assert abs(tone - 700) < 10, f"tone {tone}"
