@@ -71,9 +71,12 @@ def bench_kernels(block: int = 1 << 20, iters: int = 30):
     from sdr_tpu.ops import fir, convert, scans, fftops
     out = {}
     rng = np.random.default_rng(0)
+    from sdr_tpu.utils import from_host
     x = jnp.asarray(rng.uniform(-1, 1, block).astype(np.float32))
-    xc = jnp.asarray((rng.uniform(-1, 1, block)
-                      + 1j * rng.uniform(-1, 1, block)).astype(np.complex64))
+    # complex test vector assembled ON device (complex h2d transfers are
+    # unimplemented on the axon runtime and poison the process)
+    xc = from_host((rng.uniform(-1, 1, block)
+                    + 1j * rng.uniform(-1, 1, block)).astype(np.complex64))
     methods = ("conv", "banded", "direct", "pallas")
     for ntaps in (32, 128, 512):
         taps = rng.uniform(-1, 1, ntaps).astype(np.float32)

@@ -2,31 +2,32 @@
 
 The L0 replacement for c_sources/filter.c and c_sources/decimate.c: where
 the reference hand-schedules SSE/AVX dot products over a sliding window,
-this kernel tiles outputs onto the MXU as a banded matmul held in VMEM.
+this kernel tiles outputs onto the MXU as *lane-aligned* banded matmuls
+held in VMEM.
 
-Formulation (see ops/fir.py for the derivation): outputs are tiled
-[8 sublanes x 128 lanes] per grid step; for output tile p
+Formulation: view the input as 128-lane rows ``x2[r, l] = x[128 r + l]``.
+The 128 outputs of row r (output o = 128 r + q) are
 
-    O[r, q] = sum_m  XW[r*128 + m] * B[m, q]
+    y2[r, q] = sum_j taps[j] x[128 r + q + j]
+             = sum_t ( x2[r + t] @ B_t )[q],
+    B_t[l, q] = taps[128 t + l - q]   (zero outside 0 <= . < K)
 
-with XW the input window for the tile and B the static banded coefficient
-matrix B[q + j, q] = taps[j].  Decimating variants (factor > 1) first split
-the input into ``factor`` polyphase components host-side so each sub-band
-stays dense (the MXU analog of decimate.c's strided loads), then sum the
-per-component banded matmuls as one wide MXU contraction.
+i.e. a sum of ``nt = ceil((K + 127)/128)`` ordinary [ROWS,128] x [128,128]
+matmuls over *aligned* row windows — no gathers, no unaligned slices; the
+only non-matmul work is one sublane-shifted view per t.  Decimation by f
+first splits the input into f polyphase components host-side (the MXU
+analog of decimate.c's strided loads) and sums the per-component banded
+matmuls.
 
-Why a kernel at all, when XLA's conv lowers to the MXU already: the banded
-form reads each input sample once into VMEM and reuses it across the 8
-sublane windows (no im2col materialization in HBM), and the halo between
-output tiles is read through a second BlockSpec view of the same input
-instead of a copy — keeping the op at HBM-bandwidth speed-of-light for
-tap counts into the hundreds.
+Each grid step emits ROWS*128 outputs; the inter-tile halo rows are read
+through a second BlockSpec view of the same input, so every input sample
+is fetched into VMEM once per t (<= nt times total) and the kernel stays
+at HBM bandwidth for tap counts into the hundreds.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 import jax
@@ -37,100 +38,100 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fir_strided"]
 
 LANE = 128
-SUB = 8
-TILE = LANE * SUB  # outputs per grid step
+ROWS = 256          # output rows per grid step (ROWS*LANE outputs)
+HALO = 8            # halo rows per component (supports K/f up to 7*128+1)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _banded(taps: np.ndarray, width: int) -> np.ndarray:
-    """B[m, q] = taps[m - q], zero-padded to [width, LANE]."""
+def _band_blocks(taps: np.ndarray, nt: int) -> np.ndarray:
+    """Stacked [nt*128, 128] band: B[t*128 + l, q] = taps[128 t + l - q]."""
     K = taps.shape[0]
-    B = np.zeros((width, LANE), dtype=np.float32)
+    B = np.zeros((nt * LANE, LANE), dtype=np.float32)
     for q in range(LANE):
         B[q: q + K, q] = taps
     return B
 
 
-def _kernel(nsub: int, mp: int, x_ref, xn_ref, b_ref, o_ref):
-    """One output tile: gather 8 overlapping row-windows per polyphase
-    component, single MXU matmul against the stacked banded matrix.
-
-    x_ref/xn_ref: [nsub, TILE] current + next input tile (halo source)
-    b_ref: [nsub * mp, LANE] stacked banded matrices
-    o_ref: [SUB, LANE] output tile
-    """
-    xw = jnp.concatenate([x_ref[...], xn_ref[...]], axis=-1)  # [nsub, 2*TILE]
-    rows = []
-    for s in range(nsub):
-        for r in range(SUB):
-            rows.append(jax.lax.dynamic_slice(xw, (s, r * LANE), (1, mp)))
-    # [SUB, nsub*mp]: row r holds component s's window at columns s*mp:...
-    X = jnp.concatenate(
-        [jnp.concatenate(rows[s * SUB:(s + 1) * SUB], axis=0)
-         for s in range(nsub)], axis=1)
-    o_ref[...] = jnp.dot(X, b_ref[...], preferred_element_type=jnp.float32)
+def _kernel(f: int, nt: int, x_ref, h_ref, b_ref, o_ref):
+    """x_ref: [f, ROWS, 128] aligned rows; h_ref: [f, HALO, 128] halo rows;
+    b_ref: [f*nt*128, 128] bands; o_ref: [ROWS, 128]."""
+    acc = jnp.zeros((ROWS, LANE), dtype=jnp.float32)
+    for s in range(f):
+        xfull = jnp.concatenate([x_ref[s], h_ref[s]], axis=0)
+        for t in range(nt):
+            blk = (s * nt + t) * LANE
+            acc = acc + jnp.dot(xfull[t: t + ROWS, :],
+                                b_ref[blk: blk + LANE, :],
+                                preferred_element_type=jnp.float32)
+    o_ref[...] = acc
 
 
 def _fir_pallas_1d(taps_np: np.ndarray, x, num: int, factor: int,
                    interpret: bool):
-    """x: [N] float32 -> [num] float32; taps_np static (trace-time)."""
+    """x: [N] float32 -> [num] float32; taps_np static at trace time."""
     K = taps_np.shape[0]
     f = factor
-    P = -(-num // TILE)
+    P = -(-num // (ROWS * LANE))
 
     if f == 1:
-        Kr = K
-        comps = x[None, :]                      # [1, N]
+        comps = x[None, :]
+        Kf = K
+        sub_taps = [taps_np]
     else:
-        Kr = -(-K // f)
+        Kf = -(-K // f)
         n_in = x.shape[-1]
         need = _round_up(n_in, f)
         if need > n_in:
             x = jnp.pad(x, (0, need - n_in))
         comps = x.reshape(-1, f).T              # [f, N/f]
-    nsub = comps.shape[0]
-    mp = _round_up(LANE - 1 + Kr, LANE)
-    if mp > TILE:
-        raise ValueError(f"{K} taps at factor {f} exceed kernel tile")
+        sub_taps = []
+        for r in range(f):
+            tr = np.zeros(Kf, dtype=np.float32)
+            sub = taps_np[r::f]
+            tr[: sub.shape[0]] = sub
+            sub_taps.append(tr)
+    nt = -(-(LANE + Kf - 1) // LANE)
+    if nt > HALO:
+        raise ValueError(f"{K} taps at factor {f} exceed kernel halo")
 
-    # stacked banded matrices, one per polyphase component
-    bs = []
-    for r in range(nsub):
-        tr = np.zeros(Kr, dtype=np.float32)
-        sub = taps_np[r::f]
-        tr[: sub.shape[0]] = sub
-        bs.append(_banded(tr, mp))
-    B = jnp.asarray(np.concatenate(bs, axis=0))  # [nsub*mp, LANE]
+    B = jnp.asarray(np.concatenate([_band_blocks(t, nt) for t in sub_taps],
+                                   axis=0))    # [f*nt*128, 128]
 
-    # pad components so block p+1 always exists
-    need = (P + 1) * TILE
-    comps = jnp.pad(comps, ((0, 0), (0, max(0, need - comps.shape[-1]))))
+    # rows layout [f, T, 128]; need T >= (P+... main rows P*ROWS plus halo
+    rows_needed = P * ROWS + HALO
+    need = rows_needed * LANE
+    if comps.shape[-1] < need:
+        comps = jnp.pad(comps, ((0, 0), (0, need - comps.shape[-1])))
+    else:
+        comps = comps[..., :need]
+    x2 = comps.reshape(comps.shape[0], rows_needed, LANE)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, nsub, mp),
+        functools.partial(_kernel, comps.shape[0], nt),
         grid=(P,),
         in_specs=[
-            pl.BlockSpec((nsub, TILE), lambda p: (0, p),
+            pl.BlockSpec((x2.shape[0], ROWS, LANE), lambda p: (0, p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nsub, TILE), lambda p: (0, p + 1),
+            pl.BlockSpec((x2.shape[0], HALO, LANE),
+                         lambda p: (0, (p + 1) * (ROWS // HALO), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B.shape[0], LANE), lambda p: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((SUB, LANE), lambda p: (p, 0),
+        out_specs=pl.BlockSpec((ROWS, LANE), lambda p: (p, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P * SUB, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P * ROWS, LANE), jnp.float32),
         interpret=interpret,
-    )(comps, comps, B)
-    return out.reshape(P * TILE)[:num]
+    )(x2, x2, B)
+    return out.reshape(P * ROWS * LANE)[:num]
 
 
 def fir_strided(taps, x, num: int, factor: int = 1, *,
                 interpret: bool | None = None):
-    """Strided FIR via the Pallas banded-matmul kernel.
+    """Strided FIR via the Pallas aligned banded-matmul kernel.
 
     Matches ``ops.fir.fir_decimate`` semantics:
     y[i] = sum_j taps[j] * x[..., i*factor + j].  Real float32 data

@@ -1,5 +1,5 @@
 from sdr_tpu.utils.args import parse_size  # noqa: F401
-from sdr_tpu.utils.host import to_host  # noqa: F401
+from sdr_tpu.utils.host import to_host, from_host  # noqa: F401
 from sdr_tpu.utils.device import (  # noqa: F401
     device_kind,
     on_tpu,
