@@ -133,8 +133,22 @@ def main():
                           "vs_baseline": 0.0}))
         return 1
 
+    # kernel matrix in a subprocess: a backend bug in one case (the axon
+    # runtime "poisons" a client on certain failures) must not take down
+    # the headline measurement.
     try:
-        results.update(bench_kernels())
+        import subprocess
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import json, bench; json.dump({k: float(v) for k, v in "
+             "bench.bench_kernels(iters=10).items()}, open('"
+             "bench_kernels.json', 'w'))"],
+            capture_output=True, text=True, timeout=1800)
+        if r.returncode == 0:
+            with open("bench_kernels.json") as fh:
+                results.update(json.load(fh))
+        else:
+            print(f"kernel bench failed: {r.stderr[-500:]}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"kernel bench failed: {e}", file=sys.stderr)
 
