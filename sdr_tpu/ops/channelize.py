@@ -74,7 +74,8 @@ def polyphase_channelize(taps, n_channels: int, x,
     x_poly = jnp.swapaxes(x.reshape(x.shape[:-1] + (m_total, C)), -1, -2)
     # branch windows [..., C, num, P]
     starts = np.arange(num, dtype=np.int64)
-    W = _gather_windows(x_poly, starts, P)
+    W = _gather_windows(x_poly, starts, P,
+                        jnp.arange(num, dtype=jnp.int32))
     v = jnp.einsum("...cmp,cp->...cm", W, jnp.asarray(h_poly))
     # DFT across branches: y[..., c, m] = sum_r v[..., r, m] w^{-cr}
     return jnp.fft.fft(v, axis=-2)

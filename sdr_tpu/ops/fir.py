@@ -172,15 +172,24 @@ def _as_real_batch(x):
     return x, lambda y: y
 
 
-def _gather_windows(x, starts: np.ndarray, length: int):
-    """W[..., m, k] = x[..., starts[m] + k] via one static gather."""
-    idx = starts[:, None] + np.arange(length, dtype=np.int64)[None, :]
-    need = int(idx.max()) + 1 if idx.size else 0
+def _gather_windows(x, starts: np.ndarray, length: int, starts_dev=None):
+    """W[..., m, k] = x[..., starts[m] + k] via one gather.
+
+    ``starts`` (host numpy) sizes the padding statically; ``starts_dev``
+    optionally supplies the same values computed ON device (e.g. via
+    arange) so huge index tables never become program constants — a [1M,
+    128] embedded iota blows up compile payloads.
+    """
+    need = int(starts.max()) + length if starts.size else 0
     n = x.shape[-1]
     if need > n:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, need - n)]
         x = jnp.pad(x, pad)
-    return jnp.take(x, jnp.asarray(idx, dtype=jnp.int32), axis=-1)
+    if starts_dev is None:
+        starts_dev = jnp.asarray(starts.astype(np.int32))
+    idx = starts_dev[:, None].astype(jnp.int32) + \
+        jnp.arange(length, dtype=jnp.int32)[None, :]
+    return jnp.take(x, idx, axis=-1)
 
 
 def _fir_direct(taps_dev, x, num: int, factor: int):
@@ -188,7 +197,8 @@ def _fir_direct(taps_dev, x, num: int, factor: int):
     out[m] = sum_j taps[j] * x[m*factor + j]  (decimate.c:16-24)."""
     K = taps_dev.shape[0]
     starts = np.arange(num, dtype=np.int64) * factor
-    W = _gather_windows(x, starts, K)  # [..., num, K]
+    starts_dev = jnp.arange(num, dtype=jnp.int32) * factor
+    W = _gather_windows(x, starts, K, starts_dev)  # [..., num, K]
     return jnp.einsum("...mk,k->...m", W, taps_dev,
                       preferred_element_type=jnp.float32)
 
@@ -216,7 +226,8 @@ def _fir_banded(taps_np: np.ndarray, x, num: int, factor: int):
         B = _banded_matrix(taps_np, 1, lane)            # [M, lane]
         M = B.shape[0]
         starts = np.arange(P, dtype=np.int64) * lane
-        X = _gather_windows(x, starts, M)               # [..., P, M]
+        X = _gather_windows(x, starts, M,
+                            jnp.arange(P, dtype=jnp.int32) * lane)
         Y = jnp.einsum("...pm,ml->...pl", X, jnp.asarray(B),
                        preferred_element_type=jnp.float32)
     else:
@@ -240,7 +251,8 @@ def _fir_banded(taps_np: np.ndarray, x, num: int, factor: int):
             Bs.append(_banded_matrix(tr, 1, lane))       # [lane-1+Kr, lane]
             xr = x[..., r::f][..., :n_in_r]
             starts = np.arange(P, dtype=np.int64) * lane
-            Xs.append(_gather_windows(xr, starts, lane - 1 + Kr))
+            Xs.append(_gather_windows(xr, starts, lane - 1 + Kr,
+                                      jnp.arange(P, dtype=jnp.int32) * lane))
         B = jnp.asarray(np.concatenate(Bs, axis=0))      # [f*(lane-1+Kr), lane]
         X = jnp.concatenate(Xs, axis=-1)                 # [..., P, f*(lane-1+Kr)]
         Y = jnp.einsum("...pm,ml->...pl", X, B,
@@ -368,10 +380,15 @@ def fir_resample(taps, interpolation: int, decimation: int, x,
     table = prepare_phase_table(taps_np, I)           # [I, Kp]
     Kp = table.shape[1]
     i_m, o_m = _resample_positions(num, I, D, offset)
+    # device-side closed form (host copy above only sizes the padding) —
+    # embedding [num]-sized tables as constants bloats compile payloads
+    t_dev = jnp.arange(num, dtype=jnp.int32) * D - offset
+    o_dev = jnp.mod(-t_dev, I)
+    i_dev = (t_dev + o_dev) // I
 
     xr, rebuild = _as_real_batch(x)
-    W = _gather_windows(xr, i_m.astype(np.int64), Kp)   # [..., num, Kp]
-    rows = jnp.asarray(table[o_m])                      # [num, Kp] static rows
+    W = _gather_windows(xr, i_m.astype(np.int64), Kp, i_dev)
+    rows = jnp.take(jnp.asarray(table), o_dev, axis=0)  # [num, Kp]
     y = jnp.einsum("...mk,mk->...m", W, rows,
                    preferred_element_type=jnp.float32)
     return rebuild(y), end_offset
