@@ -207,3 +207,31 @@ def test_pipeline_spectrogram(rng):
         np.complex64)
     _, y = p.process(x)
     assert y.shape == (4096 // 128, 256)
+
+
+@pytest.mark.parametrize("offset", [0, 1, 2])
+def test_fir_resampler_stream_nonzero_offset(rng, offset):
+    """Streaming with a nonzero initial phase offset (the reference's
+    random starting group, TestSuite.hs:183)."""
+    x = rng.uniform(-1, 1, 8400).astype(np.float32)
+    taps = rng.uniform(-1, 1, 31).astype(np.float32)
+    op = Fir.resampler(taps, 3, 10, offset=offset)
+    chunk_vs_whole(op, x, 840, atol=1e-4)
+
+
+def test_fir_streaming_offset_matches_offline(rng):
+    from sdr_tpu.ops import fir as fir_ops
+    offset = 2
+    x = rng.uniform(-1, 1, 4200).astype(np.float32)
+    taps = rng.uniform(-1, 1, 31).astype(np.float32)
+    op = Fir.resampler(taps, 3, 10, offset=offset)
+    H = op.hist_len(840)
+    c = op.init_carry(840, np.float32)
+    parts = []
+    for i in range(0, 4200, 840):
+        c, y = op.apply(c, jnp.asarray(x[i:i + 840]))
+        parts.append(np.asarray(y))
+    got = np.concatenate(parts)
+    padded = np.concatenate([np.zeros(H, np.float32), x])
+    want, _ = fir_ops.fir_resample(taps, 3, 10, padded, offset, len(got))
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-4)
