@@ -77,3 +77,13 @@ def test_timed_and_trace(capsys):
     assert "x:" in capsys.readouterr().out
     with trace("region"):
         pass
+
+
+def test_to_host_from_host_roundtrip(rng):
+    from sdr_tpu.utils import to_host, from_host
+    x = (rng.normal(size=64) + 1j * rng.normal(size=64)).astype(np.complex64)
+    d = from_host(x)
+    back = to_host(d)
+    np.testing.assert_allclose(back, x, atol=1e-6)
+    r = rng.normal(size=64).astype(np.float32)
+    np.testing.assert_allclose(to_host(from_host(r)), r, atol=1e-7)
