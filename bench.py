@@ -25,19 +25,46 @@ import jax.numpy as jnp
 BASELINE_PER_CHIP = 10e9 / 16  # BASELINE.md: >=10 GS/s aggregate on v5e-16
 
 
+def _sync(y):
+    """Force completion.  block_until_ready is unreliable on tunneled
+    runtimes (observed returning before execution); transferring a scalar
+    derived from the value is not."""
+    return float(np.asarray(jnp.ravel(y)[0]))
+
+
+def null_rpc_time(iters: int = 5) -> float:
+    """Round-trip cost of dispatch + scalar transfer with ~zero compute."""
+    g = jax.jit(lambda v: v + 1.0)
+    z = jnp.zeros(8)
+    _sync(g(z))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(g(z))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
 def bench_fn(step, args, iters, warmup=3):
-    """Time a jitted (carry, x) -> (carry, y) step, chaining carries."""
+    """Time a jitted (carry, x) -> (carry, y) step, chaining carries.
+
+    The carry chain makes every step a data dependency of the last; the
+    final scalar transfer forces real completion.  The measured null RPC
+    round-trip is subtracted once.
+    """
+    null = null_rpc_time()
     c, x = args
     c2, y = step(c, x)
-    jax.block_until_ready(y)
+    _sync(y)
     for _ in range(warmup):
         c2, y = step(c2, x)
-    jax.block_until_ready(y)
+    _sync(y)
     t0 = time.perf_counter()
     for _ in range(iters):
         c2, y = step(c2, x)
-    jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / iters
+    _sync(y)
+    dt = time.perf_counter() - t0 - null
+    return max(dt, 1e-9) / iters
 
 
 def bench_chain(method: str, block: int, iters: int = 30):
@@ -54,13 +81,33 @@ def bench_chain(method: str, block: int, iters: int = 30):
 
 
 def _time_jit(fn, iters=30):
-    g = jax.jit(fn)
-    jax.block_until_ready(g())
+    """Per-iteration device time of ``fn`` with the iteration loop INSIDE
+    the compiled program (lax.scan with a reduction dependency).
+
+    Host-loop timing is useless on tunneled runtimes: per-execution RPC
+    overhead (~3 ms here) swamps microsecond kernels.  The scan body
+    perturbs the input per step so XLA cannot hoist the kernel out of the
+    loop, and folds a scalar of the output into the carry so it cannot
+    dead-code it.
+    """
+    def looped():
+        def body(c, i):
+            y = fn(i)
+            first = jax.tree.leaves(y)[0]
+            red = jnp.mean(jnp.abs(first)) if jnp.iscomplexobj(first) \
+                else jnp.mean(first)
+            return c + red.astype(jnp.float32) * 1e-6, None
+        out, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(iters, dtype=jnp.int32))
+        return out
+
+    g = jax.jit(looped)
+    _sync(g())
+    null = null_rpc_time(3)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        r = g()
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / iters
+    _sync(g())
+    dt = time.perf_counter() - t0 - null
+    return max(dt, 1e-9) / iters
 
 
 def bench_kernels(block: int = 1 << 20, iters: int = 30):
@@ -72,46 +119,53 @@ def bench_kernels(block: int = 1 << 20, iters: int = 30):
     out = {}
     rng = np.random.default_rng(0)
     from sdr_tpu.utils import from_host
-    x = jnp.asarray(rng.uniform(-1, 1, block).astype(np.float32))
+    x0 = jnp.asarray(rng.uniform(-1, 1, block).astype(np.float32))
     # complex test vector assembled ON device (complex h2d transfers are
     # unimplemented on the axon runtime and poison the process)
-    xc = from_host((rng.uniform(-1, 1, block)
-                    + 1j * rng.uniform(-1, 1, block)).astype(np.complex64))
+    xc0 = from_host((rng.uniform(-1, 1, block)
+                     + 1j * rng.uniform(-1, 1, block)).astype(np.complex64))
+    raw = jnp.asarray(rng.integers(0, 256, block, dtype=np.uint8))
+
+    def perturb(i):  # defeat loop hoisting; numerically negligible
+        return x0 + i.astype(jnp.float32) * 1e-30
+
+    def perturbc(i):
+        return xc0 + i.astype(jnp.complex64) * 1e-30
+
+    def case(name, fn):
+        try:
+            out[name] = block / _time_jit(fn, iters)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: {str(e)[:160]}", file=sys.stderr)
+
     methods = ("conv", "banded", "direct", "pallas")
     for ntaps in (32, 128, 512):
         taps = rng.uniform(-1, 1, ntaps).astype(np.float32)
         for method in methods:
-            try:
-                dt = _time_jit(lambda m=method, t=taps, k=ntaps:
-                               fir.fir_filter(t, x, block - k + 1, method=m),
-                               iters)
-                out[f"filter_r_k{ntaps}_{method}"] = block / dt
-            except Exception as e:  # noqa: BLE001
-                print(f"filter k{ntaps} {method}: {e}", file=sys.stderr)
+            if method == "direct" and ntaps > 32:
+                continue  # [num, K] im2col at this size is pathological
+            case(f"filter_r_k{ntaps}_{method}",
+                 lambda i, m=method, t=taps, k=ntaps: fir.fir_filter(
+                     t, perturb(i), block - k + 1, method=m))
     taps128 = rng.uniform(-1, 1, 128).astype(np.float32)
-    for method in methods:
-        try:
-            dt = _time_jit(lambda m=method: fir.fir_decimate(
-                taps128, 4, x, (block - 128) // 4, method=m), iters)
-            out[f"decimate_r_k128_{method}"] = block / dt
-            dt = _time_jit(lambda m=method: fir.fir_decimate(
-                taps128, 1, xc, block - 127, method=m), iters)
-            out[f"filter_c_k128_{method}"] = block / dt
-        except Exception as e:  # noqa: BLE001
-            print(f"decimate {method}: {e}", file=sys.stderr)
-    out["resample_r_3_4"] = block / _time_jit(
-        lambda: fir.fir_resample(taps128, 3, 4, x)[0], iters)
-    out["resample_c_3_4"] = block / _time_jit(
-        lambda: fir.fir_resample(taps128, 3, 4, xc)[0], iters)
+    for method in ("conv", "banded", "pallas"):
+        case(f"decimate_r_k128_{method}",
+             lambda i, m=method: fir.fir_decimate(
+                 taps128, 4, perturb(i), (block - 128) // 4, method=m))
+        case(f"filter_c_k128_{method}",
+             lambda i, m=method: fir.fir_decimate(
+                 taps128, 1, perturbc(i), block - 127, method=m))
+    case("resample_r_3_4",
+         lambda i: fir.fir_resample(taps128, 3, 4, perturb(i))[0])
+    case("resample_c_3_4",
+         lambda i: fir.fir_resample(taps128, 3, 4, perturbc(i))[0])
     # conversion / scale / fft (convert.c, scale.c, FFT.hs analogs)
-    raw = jnp.asarray(rng.integers(0, 256, block, dtype=np.uint8))
-    out["convert_u8"] = block / _time_jit(
-        lambda: jnp.abs(convert.iq_u8_to_cfloat(raw)), iters)
-    out["scale"] = block / _time_jit(lambda: convert.scale(0.3, x), iters)
-    out["fft_1024_batch"] = block / _time_jit(
-        lambda: jnp.abs(fftops.fft(xc.reshape(-1, 1024))), iters)
-    out["dc_blocker"] = block / _time_jit(
-        lambda: scans.dc_blocker(x)[0], iters)
+    case("convert_u8",
+         lambda i: jnp.abs(convert.iq_u8_to_cfloat(raw + i.astype(jnp.uint8))))
+    case("scale", lambda i: convert.scale(0.3, perturb(i)))
+    case("fft_1024_batch",
+         lambda i: jnp.abs(fftops.fft(perturbc(i).reshape(-1, 1024))))
+    case("dc_blocker", lambda i: scans.dc_blocker(perturb(i))[0])
     return out
 
 
