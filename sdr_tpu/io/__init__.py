@@ -15,7 +15,13 @@ from sdr_tpu.io.native import (  # noqa: F401
     native_available,
     build_native,
 )
-from sdr_tpu.io.plot import plot_line, plot_fill, Waterfall  # noqa: F401
+from sdr_tpu.io.plot import (  # noqa: F401
+    plot_line,
+    plot_fill,
+    Waterfall,
+    zero_axis,
+    centered_axis,
+)
 from sdr_tpu.io.serialize import (  # noqa: F401
     to_bytes,
     from_bytes,

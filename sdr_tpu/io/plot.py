@@ -13,7 +13,20 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["plot_line", "plot_fill", "Waterfall"]
+__all__ = ["plot_line", "plot_fill", "Waterfall", "zero_axis",
+           "centered_axis"]
+
+
+def zero_axis(n: int, fs: float = 1.0) -> np.ndarray:
+    """Frequency axis [0, fs) for n bins — the reference's ``zeroAxes``
+    labeling (Plot.hs:134-150)."""
+    return np.arange(n) * (fs / n)
+
+
+def centered_axis(n: int, fs: float = 1.0) -> np.ndarray:
+    """DC-centered frequency axis [-fs/2, fs/2) for fftshift'd spectra —
+    the reference's ``centeredAxes`` labeling (Plot.hs:152-171)."""
+    return (np.arange(n) - n // 2) * (fs / n)
 
 
 def _ax(title, xlabel, ylabel, figsize=(10, 5)):

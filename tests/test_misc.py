@@ -87,3 +87,11 @@ def test_to_host_from_host_roundtrip(rng):
     np.testing.assert_allclose(back, x, atol=1e-6)
     r = rng.normal(size=64).astype(np.float32)
     np.testing.assert_allclose(to_host(from_host(r)), r, atol=1e-7)
+
+
+def test_axes_helpers():
+    from sdr_tpu.io import zero_axis, centered_axis
+    z = zero_axis(8, 48000)
+    assert z[0] == 0 and z[1] == 6000
+    c = centered_axis(8, 48000)
+    assert c[4] == 0 and c[0] == -24000

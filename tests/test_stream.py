@@ -235,3 +235,18 @@ def test_fir_streaming_offset_matches_offline(rng):
     padded = np.concatenate([np.zeros(H, np.float32), x])
     want, _ = fir_ops.fir_resample(taps, 3, 10, padded, offset, len(got))
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-4)
+
+
+def test_fir_taps_longer_than_block(rng):
+    """The reference requires filter length < buffer size (Filter.hs:5);
+    overlap-save has no such constraint — history just spans multiple
+    blocks."""
+    x = rng.uniform(-1, 1, 4096).astype(np.float32)
+    taps = rng.uniform(-1, 1, 500).astype(np.float32)  # >> block of 128
+    chunk_vs_whole(Fir.filter(taps), x, 128, atol=1e-3)
+
+
+def test_decimator_taps_longer_than_block(rng):
+    x = rng.uniform(-1, 1, 8192).astype(np.float32)
+    taps = rng.uniform(-1, 1, 300).astype(np.float32)
+    chunk_vs_whole(Fir.decimator(taps, 4), x, 256, atol=1e-3)
