@@ -169,18 +169,40 @@ def bench_kernels(block: int = 1 << 20, iters: int = 30):
     return out
 
 
+def _chain_subprocess(method: str, block: int, attempts: int = 3):
+    """Run one chain bench in a subprocess with retry + cooldown.
+
+    The tunneled TPU runtime 'poisons' a client (and itself, for minutes)
+    on certain failures; isolation + patience gets a number through."""
+    import subprocess
+    code = ("import json, bench; "
+            f"print(json.dumps(bench.bench_chain({method!r}, {block})))")
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True, timeout=900)
+            if r.returncode == 0:
+                return float(r.stdout.strip().splitlines()[-1])
+            print(f"fm_chain_{method} attempt {attempt}: "
+                  f"{r.stderr[-300:]}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"fm_chain_{method} attempt {attempt}: {e}",
+                  file=sys.stderr)
+        if attempt + 1 < attempts:
+            time.sleep(240)  # tunnel recovery window
+    return None
+
+
 def main():
     block = 10_485_760  # 10 MiB u8 -> 5.24M complex samples / block
     results = {}
     best = None
     for method in ("conv", "banded"):
-        try:
-            rate = bench_chain(method, block)
+        rate = _chain_subprocess(method, block)
+        if rate is not None:
             results[f"fm_chain_{method}"] = rate
             if best is None or rate > best[1]:
                 best = (method, rate)
-        except Exception as e:  # noqa: BLE001
-            print(f"fm_chain_{method} failed: {e}", file=sys.stderr)
     if best is None:
         print(json.dumps({"metric": "fm_chain_samples_per_sec_per_chip",
                           "value": 0, "unit": "complex S/s",
