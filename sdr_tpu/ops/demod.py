@@ -12,10 +12,34 @@ config #4).
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fm_demod", "am_demod"]
+__all__ = ["fm_demod", "am_demod", "fm_mod"]
+
+
+def fm_mod(x, sensitivity: float, phase=0.0, amplitude: float = 1.0):
+    """FM-modulate a real signal to complex baseband (the transmit-side
+    inverse of :func:`fm_demod`):
+
+        phi[n] = phi[n-1] + sensitivity * x[n];   y[n] = A * e^{j phi[n]}
+
+    ``sensitivity`` is radians/sample per unit input (2*pi*deviation/fs).
+    The phase integral is a cumulative sum — associative, so it runs as a
+    parallel scan, and the carry is the final phase (wrapped) for seamless
+    blockwise/streaming modulation.  The reference has no modulator (its
+    transmit support stops at sample-format conversion, Util.hs:191-211);
+    this completes the chain so ``fm_demod(fm_mod(x)) == x``.
+
+    Returns ``(y, final_phase)``.
+    """
+    x = jnp.asarray(x, dtype=jnp.float32)
+    phi = jnp.cumsum(sensitivity * x, axis=-1) + jnp.asarray(
+        phase, dtype=jnp.float32)[..., None]
+    y = amplitude * jnp.exp(1j * phi).astype(jnp.complex64)
+    final = jnp.mod(phi[..., -1], 2 * np.pi)
+    return y, final
 
 
 def fm_demod(x, last=None):

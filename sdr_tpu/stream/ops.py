@@ -37,6 +37,7 @@ from sdr_tpu.stream.block import StreamOp
 __all__ = [
     "IqConvertU8", "IqConvertI16", "Fir", "FmDemod", "AmDemod", "Agc",
     "DcBlocker", "Scale", "Mix", "Map", "FftStream", "Channelize",
+    "FmMod",
 ]
 
 
@@ -182,6 +183,24 @@ class FmDemod(StreamOp):
     def shard_carry(self, x, axis_name):
         from sdr_tpu.parallel.halo import left_halo
         return left_halo(x, 1, axis_name)[..., 0]
+
+
+class FmMod(StreamOp):
+    """FM modulator with phase carry (transmit side; ops.demod.fm_mod)."""
+
+    def __init__(self, sensitivity: float, amplitude: float = 1.0):
+        self.sensitivity = sensitivity
+        self.amplitude = amplitude
+
+    def out_dtype(self, in_dtype):
+        return jnp.complex64
+
+    def init_carry(self, n_in, in_dtype, batch_shape=()):
+        return jnp.zeros(batch_shape, dtype=jnp.float32)
+
+    def apply(self, carry, x):
+        y, phase = demod.fm_mod(x, self.sensitivity, carry, self.amplitude)
+        return phase, y
 
 
 class AmDemod(StreamOp):

@@ -250,3 +250,32 @@ def test_fm_app_native_loader(fm_capture, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     tone = _dominant_tone(out, 48000)
     assert abs(tone - 700) < 10, f"tone {tone}"
+
+
+def test_fm_tx_then_rx_roundtrip(tmp_path):
+    """Transmit chain then receive chain: the audio tone survives."""
+    # make a 1 s 600 Hz tone WAV at 48 kHz
+    import wave as wave_mod
+    tone_wav = tmp_path / "tone.wav"
+    n = 48000
+    audio = 0.8 * np.sin(2 * np.pi * 600 * np.arange(n) / 48000)
+    with wave_mod.open(str(tone_wav), "wb") as wf:
+        wf.setnchannels(1); wf.setsampwidth(2); wf.setframerate(48000)
+        wf.writeframes((audio * 32767).astype("<i2").tobytes())
+    txout = tmp_path / "tx.iq"
+    r = _run_app(["fm_tx", "--in", str(tone_wav), "--out", str(txout)],
+                 tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # demodulate the transmitted IQ (i16 -> u8-style chain via i16 convert)
+    iq = np.fromfile(txout, dtype=np.int16)
+    # convert i16 IQ to u8 rtl format for the rx app: rescale
+    z = iq.astype(np.float32) / 2048.0
+    u8 = np.clip(np.round(z * 128 + 128), 0, 255).astype(np.uint8)
+    cap = tmp_path / "loop.iq"
+    u8.tofile(cap)
+    out = tmp_path / "rx.wav"
+    r = _run_app(["fm", "--in", str(cap), "--out", str(out),
+                  "--block", "655360"], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    tone = _dominant_tone(out, 48000)
+    assert abs(tone - 600) < 10, f"tone {tone}"

@@ -232,3 +232,27 @@ def test_spectrogram_peaks_at_tone():
     rows = np.asarray(ops.spectrogram(tone, 256, 128))
     # DC-centered: bin = 256/2 + 0.125*256 = 160
     assert (rows.argmax(axis=-1) == 160).all()
+
+
+def test_fm_mod_demod_roundtrip(rng):
+    x = rng.uniform(-1, 1, 2048).astype(np.float32)
+    sens = 0.3
+    y, final = ops.fm_mod(x, sens)
+    back, _ = ops.fm_demod(y)
+    np.testing.assert_allclose(np.asarray(back)[1:], sens * x[1:], atol=2e-3)
+
+
+def test_fm_mod_streaming_phase_carry(rng):
+    import jax.numpy as jnp
+    from sdr_tpu.stream import FmMod
+    x = rng.uniform(-1, 1, 2048).astype(np.float32)
+    op = FmMod(0.25)
+    c0 = op.init_carry(2048, np.float32)
+    _, whole = op.apply(c0, jnp.asarray(x))
+    c = op.init_carry(256, np.float32)
+    parts = []
+    for i in range(0, 2048, 256):
+        c, y = op.apply(c, jnp.asarray(x[i:i + 256]))
+        parts.append(np.asarray(y))
+    got = np.concatenate(parts)
+    np.testing.assert_allclose(got, np.asarray(whole), atol=1e-3)
