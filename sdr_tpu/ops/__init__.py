@@ -46,3 +46,9 @@ from sdr_tpu.ops.channelize import (  # noqa: F401
     polyphase_channelize,
     channelizer_taps,
 )
+from sdr_tpu.ops.iir import (  # noqa: F401
+    linear_recurrence,
+    biquad,
+    sosfilt,
+    deemphasis_taps,
+)

@@ -35,6 +35,8 @@ def linear_scan(a, b, y0):
     over the affine maps, evaluated with ``jax.lax.associative_scan``.
     Shapes: a, b: [..., N]; y0: [...].
     """
+    b = jnp.asarray(b)
+    a = jnp.asarray(a)
     b = b.at[..., 0].add(a[..., 0] * y0)
 
     def combine(l, r):

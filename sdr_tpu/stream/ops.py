@@ -37,7 +37,7 @@ from sdr_tpu.stream.block import StreamOp
 __all__ = [
     "IqConvertU8", "IqConvertI16", "Fir", "FmDemod", "AmDemod", "Agc",
     "DcBlocker", "Scale", "Mix", "Map", "FftStream", "Channelize",
-    "FmMod",
+    "FmMod", "Iir",
 ]
 
 
@@ -201,6 +201,48 @@ class FmMod(StreamOp):
     def apply(self, carry, x):
         y, phase = demod.fm_mod(x, self.sensitivity, carry, self.amplitude)
         return phase, y
+
+
+class Iir(StreamOp):
+    """Streaming cascaded-biquad IIR (ops/iir.py) with exact cross-block
+    state: each section carries its last two inputs and outputs.
+
+    De-emphasis, notch and equalizer filters for receive chains — the
+    generalization of the reference's one hard-coded IIR (dcBlocker).
+    """
+
+    def __init__(self, sos):
+        sos = np.asarray(sos, dtype=np.float32)
+        if sos.ndim == 1:
+            sos = sos[None, :]
+        if sos.shape[-1] != 6:
+            raise ValueError("sos must be [S, 6]")
+        self.sos = sos / sos[:, 3:4]  # normalize a0
+
+    def init_carry(self, n_in, in_dtype, batch_shape=()):
+        S = self.sos.shape[0]
+        z = jnp.zeros(batch_shape + (S, 2), dtype=jnp.float32)
+        return (z, z)  # (last two inputs, last two outputs) per section
+
+    def apply(self, carry, x):
+        from sdr_tpu.ops import iir as iir_ops
+        xin, yout = carry
+        new_xin, new_yout = [], []
+        for s in range(self.sos.shape[0]):
+            b, a = self.sos[s, :3], self.sos[s, 3:]
+            # drive with the carried two input samples prepended
+            xp = jnp.concatenate([xin[..., s, :], x], axis=-1)
+            drive = (b[0] * xp[..., 2:] + b[1] * xp[..., 1:-1]
+                     + b[2] * xp[..., :-2])
+            # carried state vector is (y[-1], y[-2]); yout stores time order
+            y = iir_ops.linear_recurrence(
+                np.array([-a[1], -a[2]], dtype=np.float32), drive,
+                jnp.stack([yout[..., s, 1], yout[..., s, 0]], axis=-1))
+            new_xin.append(xp[..., -2:])
+            new_yout.append(y[..., -2:])
+            x = y
+        return ((jnp.stack(new_xin, axis=-2),
+                 jnp.stack(new_yout, axis=-2)), x)
 
 
 class AmDemod(StreamOp):
