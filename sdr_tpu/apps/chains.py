@@ -9,13 +9,11 @@ remez(50,[0 .08 .125 1]), remez(30,[0 .1 .3 1]), remez(63,[0 .3125 .39 1]))
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 
 from sdr_tpu.ops import design
 from sdr_tpu.stream import (Agc, AmDemod, Fir, FftStream, FmDemod,
-                            IqConvertU8, IqConvertI16, Map, Mix, Pipeline,
-                            Scale)
+                            IqConvertU8, Map, Mix, Scale)
 
 __all__ = ["fm_taps", "fm_chain", "am_chain", "waterfall_chain",
            "channelizer_chain"]

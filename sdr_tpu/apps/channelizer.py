@@ -16,12 +16,10 @@ import sys
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from sdr_tpu.apps.chains import channelizer_chain
 from sdr_tpu import parallel
 from sdr_tpu.io import wav_sink
-from sdr_tpu.stream import Pipeline
 from sdr_tpu.utils import parse_size, from_host, to_host
 
 

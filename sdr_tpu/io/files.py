@@ -11,7 +11,6 @@ for the PulseAudio consumer (SDR/Pulse.hs — no audio device on a TPU host).
 from __future__ import annotations
 
 import wave
-from pathlib import Path
 from typing import Iterator, Optional
 
 import numpy as np

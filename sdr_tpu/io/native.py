@@ -14,7 +14,6 @@ side only wraps each filled buffer as a numpy view and hands it to
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

@@ -9,8 +9,6 @@ the reference's texture ring.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 __all__ = ["plot_line", "plot_fill", "Waterfall", "zero_axis",

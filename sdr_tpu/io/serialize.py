@@ -11,7 +11,7 @@ channels (something the reference's raw casts cannot detect).
 from __future__ import annotations
 
 import struct
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

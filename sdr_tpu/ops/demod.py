@@ -13,7 +13,6 @@ config #4).
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 __all__ = ["fm_demod", "am_demod", "fm_mod"]

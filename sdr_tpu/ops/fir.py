@@ -45,8 +45,6 @@ Numerical contract: float32 in, float32 accumulate, identical summation
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import Optional
 
 import numpy as np

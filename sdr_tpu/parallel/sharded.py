@@ -19,12 +19,10 @@ Both compose on a 2-D {channel, time} mesh.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from sdr_tpu.stream.block import StreamOp
 from sdr_tpu.stream.pipeline import Pipeline

@@ -26,10 +26,7 @@ the reference's cross-buffer functions exist to provide.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
-
-import numpy as np
-import jax.numpy as jnp
+from typing import Any
 
 __all__ = ["StreamOp"]
 

@@ -17,7 +17,7 @@ subsystem the reference lacks (SURVEY.md §5.4).
 
 from __future__ import annotations
 
-from typing import Any, Iterable, List, Optional, Sequence
+from typing import Iterable, Sequence
 
 import numpy as np
 import jax

@@ -10,7 +10,7 @@ dispatch, not compute.
 from __future__ import annotations
 
 import time
-from typing import Iterable, Optional
+from typing import Iterable
 
 import jax
 
