@@ -27,9 +27,10 @@ BASELINE_PER_CHIP = 10e9 / 16  # BASELINE.md: >=10 GS/s aggregate on v5e-16
 
 def _sync(y):
     """Force completion.  block_until_ready is unreliable on tunneled
-    runtimes (observed returning before execution); transferring a scalar
-    derived from the value is not."""
-    return float(np.asarray(jnp.ravel(y)[0]))
+    runtimes (observed returning before execution); transferring data
+    derived from the value is not.  A [1] slice, not a 0-d scalar —
+    0-d buffer transfers are another unimplemented corner there."""
+    return float(np.asarray(jnp.ravel(y)[:1])[0])
 
 
 def null_rpc_time(iters: int = 5) -> float:
