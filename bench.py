@@ -74,10 +74,12 @@ def bench_chain(method: str, block: int, iters: int = 30):
 
     p = Pipeline(fm_chain(method=method), block_in=block,
                  in_dtype=jnp.uint8)
-    step = jax.jit(p.apply)
+    # planar-boundary step: complex never crosses the program boundary
+    # (required by the axon runtime; free elsewhere)
+    step = p.jit_packed_step(donate=False)
     raw = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, block, dtype=np.uint8))
-    dt = bench_fn(step, (p.init(), raw), iters)
+    dt = bench_fn(step, (p.init_packed(), raw), iters)
     return (block // 2) / dt  # complex input samples/sec
 
 

@@ -109,6 +109,44 @@ class Pipeline:
         return jax.jit(self.apply,
                        donate_argnums=(0,) if donate else ())
 
+    # -- planar-boundary execution (TPU runtime safety) ---------------------
+    #
+    # Complex64 buffers crossing program boundaries misbehave on some TPU
+    # runtimes (the axon tunnel: transfers are unimplemented outright, and
+    # large complex jit inputs/outputs fail at execution).  The packed step
+    # keeps every boundary value planar f32; complex exists only inside
+    # the compiled program.
+
+    def init_packed(self):
+        carries, self._cflags = pack_planar(self.init())
+        return carries
+
+    def packed_apply(self, carries_p, x_p):
+        cflags = self._cflags
+        in_c = bool(jnp.issubdtype(jnp.dtype(self.in_dtype),
+                                   jnp.complexfloating))
+        x = jax.lax.complex(x_p[0], x_p[1]) if in_c else x_p
+        carries = unpack_planar(carries_p, cflags)
+        carries, y = self.apply(carries, x)
+        carries_p, _ = pack_planar(carries)
+        y_p, _ = pack_planar(y)
+        return carries_p, y_p
+
+    def jit_packed_step(self, donate: bool = True):
+        self.init_packed()  # ensure flags
+        return jax.jit(self.packed_apply,
+                       donate_argnums=(0,) if donate else ())
+
+    def pack_input(self, x):
+        x = jnp.asarray(x) if not isinstance(x, np.ndarray) else x
+        if np.iscomplexobj(x) if isinstance(x, np.ndarray) \
+                else jnp.iscomplexobj(x):
+            if isinstance(x, np.ndarray):
+                return np.stack([x.real.astype(np.float32),
+                                 x.imag.astype(np.float32)], axis=0)
+            return jnp.stack([jnp.real(x), jnp.imag(x)], axis=0)
+        return x
+
     def scan(self, blocks, carries=None):
         """Run over stacked blocks [num_blocks, ..., block_in] with
         ``lax.scan`` (the whole stream resident on device).
@@ -156,11 +194,20 @@ class Pipeline:
         (examples/fm/fm.hs:32).
         """
         if carries is None:
-            carries = self.init()
-        step = self.jit_step()
+            carries_p = self.init_packed()
+        else:
+            carries_p, self._cflags = pack_planar(carries)
+        step = self.jit_packed_step()
+        out_c = bool(jnp.issubdtype(jnp.dtype(self.out_dtype),
+                                    jnp.complexfloating))
         for blk in source:
-            carries, y = step(carries, jnp.asarray(blk))
-            yield y
+            carries_p, y = step(carries_p, self.pack_input(blk))
+            # complex outputs stay planar across the boundary; hand the
+            # caller numpy complex (host-side recombination is free)
+            if out_c:
+                yield np.asarray(y[0]) + 1j * np.asarray(y[1])
+            else:
+                yield y
 
     def process(self, signal, carries=None):
         """Convenience: chop a recorded signal [..., N] into blocks, scan,
@@ -177,18 +224,25 @@ class Pipeline:
         blocks = jnp.moveaxis(
             x.reshape(lead + (nblocks, self.block_in)), -2, 0)
         if jax.default_backend() == "axon":
-            # the axon-tunneled TPU runtime miscompiles some scan-wrapped
-            # chains (see .claude/skills/verify/SKILL.md); drive with the
-            # jitted per-block step instead — same samples, same speed.
+            # the axon-tunneled TPU runtime rejects scan-wrapped chains and
+            # large complex boundary buffers (.claude/skills/verify/
+            # SKILL.md); drive with the planar-boundary jitted step.
             if carries is None:
-                carries = self.init()
-            step = jax.jit(self.apply)
+                carries_p = self.init_packed()
+            else:
+                carries_p, self._cflags = pack_planar(carries)
+            step = self.jit_packed_step(donate=False)
+            out_c = bool(jnp.issubdtype(jnp.dtype(self.out_dtype),
+                                        jnp.complexfloating))
             out_blocks = []
             for i in range(nblocks):
-                carries, y = step(carries, blocks[i])
+                carries_p, y = step(carries_p, self.pack_input(blocks[i]))
                 out_blocks.append(y)
             ys = jnp.stack(out_blocks, axis=0)
-            return carries, self._restack(ys, lead)
+            if out_c:
+                ys = jax.jit(jax.lax.complex)(ys[:, 0], ys[:, 1])
+            final = unpack_planar(carries_p, self._cflags)
+            return final, self._restack(ys, lead)
         carries, ys = self.scan(blocks, carries)
         return carries, self._restack(ys, lead)
 
