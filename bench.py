@@ -69,17 +69,47 @@ def bench_fn(step, args, iters, warmup=3):
 
 
 def bench_chain(method: str, block: int, iters: int = 30):
+    """Streaming FM-chain throughput: ``iters`` carry-chained steps.
+
+    Primary form runs the steps INSIDE one program (the same structure as
+    Pipeline.scan) — the per-step boundary crossing is where the axon
+    runtime breaks, and in-program iteration also amortizes its RPC
+    overhead.  Per-step inputs are fresh slices of a longer buffer so no
+    step's work can be CSE'd away; the returned audio sum depends on every
+    step through the carry chain.
+    """
     from sdr_tpu.apps.chains import fm_chain
     from sdr_tpu.stream import Pipeline
 
     p = Pipeline(fm_chain(method=method), block_in=block,
                  in_dtype=jnp.uint8)
-    # planar-boundary step: complex never crosses the program boundary
-    # (required by the axon runtime; free elsewhere)
+    rng = np.random.default_rng(0)
+    n_src = 4  # distinct source blocks cycled through the loop
+    raw = jnp.asarray(rng.integers(0, 256, (n_src, block), dtype=np.uint8))
+
+    def chained(r):
+        # python-unrolled loop: the known-good in-program form on the axon
+        # runtime (it rejects some scan-wrapped chains)
+        c = p.init()
+        acc = jnp.float32(0)
+        for i in range(iters):
+            c, y = p.apply(c, r[i % n_src])
+            acc = acc + jnp.mean(y) * 1e-3
+        return acc[None]
+
+    try:
+        g = jax.jit(chained)
+        _sync(g(raw))
+        null = null_rpc_time(3)
+        t0 = time.perf_counter()
+        _sync(g(raw))
+        dt = max(time.perf_counter() - t0 - null, 1e-9) / iters
+        return (block // 2) / dt
+    except Exception as e:  # noqa: BLE001
+        print(f"in-program chain bench failed ({str(e)[:80]}); "
+              "falling back to per-step dispatch", file=sys.stderr)
     step = p.jit_packed_step(donate=False)
-    raw = jnp.asarray(
-        np.random.default_rng(0).integers(0, 256, block, dtype=np.uint8))
-    dt = bench_fn(step, (p.init_packed(), raw), iters)
+    dt = bench_fn(step, (p.init_packed(), raw[0]), iters)
     return (block // 2) / dt  # complex input samples/sec
 
 

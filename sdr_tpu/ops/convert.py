@@ -30,11 +30,19 @@ def iq_u8_to_cfloat(x):
 
     Reference: ``interleavedIQUnsigned256ToFloat`` (Util.hs:91-98) /
     ``convertC`` (convert.c:15-20):  (v - 128) / 128  per component.
+
+    TPU note: a stride-2 deinterleave (``v[..., 0::2]`` or a trailing
+    ``[n/2, 2]`` axis) forces a lane relayout that costs ~13x the whole op.
+    Bitcasting each (I, Q) byte pair to one u16 and splitting with
+    mask/shift keeps everything elementwise in-lane (little-endian: low
+    byte is I).
     """
     x = jnp.asarray(x)
-    v = (x.astype(jnp.float32) - 128.0) / 128.0
-    v = v.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2))
-    return jax.lax.complex(v[..., 0], v[..., 1])
+    u16 = jax.lax.bitcast_convert_type(
+        x.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2)), jnp.uint16)
+    i = (u16 & jnp.uint16(0xFF)).astype(jnp.float32)
+    q = (u16 >> jnp.uint16(8)).astype(jnp.float32)
+    return jax.lax.complex((i - 128.0) / 128.0, (q - 128.0) / 128.0)
 
 
 def iq_i16_to_cfloat(x):
@@ -42,11 +50,17 @@ def iq_i16_to_cfloat(x):
 
     Reference: ``interleavedIQSigned2048ToFloat`` (Util.hs:141-149) /
     ``convertCBladeRF`` (convert.c:52-57):  v / 2048  per component.
+
+    Same in-lane bitcast trick as :func:`iq_u8_to_cfloat`: each (I, Q)
+    int16 pair becomes one i32; the halves are recovered with arithmetic
+    shifts (sign-extending the low half via ``<< 16 >> 16``).
     """
-    x = jnp.asarray(x)
-    v = x.astype(jnp.float32) / 2048.0
-    v = v.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2))
-    return jax.lax.complex(v[..., 0], v[..., 1])
+    x = jnp.asarray(x).astype(jnp.int16)
+    i32 = jax.lax.bitcast_convert_type(
+        x.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2)), jnp.int32)
+    i = ((i32 << jnp.int32(16)) >> jnp.int32(16)).astype(jnp.float32)
+    q = (i32 >> jnp.int32(16)).astype(jnp.float32)
+    return jax.lax.complex(i / 2048.0, q / 2048.0)
 
 
 def cfloat_to_iq_i16(x):
@@ -55,11 +69,17 @@ def cfloat_to_iq_i16(x):
     Reference: ``complexFloatToInterleavedIQSigned2048`` (Util.hs:191-199) /
     ``convertBladeRFTransmit`` (convert.c:87-101): scale by 2048, round,
     clamp to [-2048, 2047].
+
+    Interleaving is the same layout trap in reverse: pack the two int16
+    halves into one i32 elementwise, then bitcast down (the trailing [2]
+    axis a narrowing bitcast appends is exactly the interleaved pair).
     """
-    v = jnp.stack([x.real, x.imag], axis=-1)
-    v = v.reshape(x.shape[:-1] + (2 * x.shape[-1],))
-    v = jnp.clip(jnp.round(v * 2048.0), -2048, 2047)
-    return v.astype(jnp.int16)
+    def q16(v):
+        return jnp.clip(jnp.round(v * 2048.0), -2048, 2047).astype(jnp.int32)
+    i, q = q16(x.real), q16(x.imag)
+    packed = (q << jnp.int32(16)) | (i & jnp.int32(0xFFFF))
+    pairs = jax.lax.bitcast_convert_type(packed, jnp.int16)  # [..., n, 2]
+    return pairs.reshape(x.shape[:-1] + (2 * x.shape[-1],))
 
 
 def scale(factor, x):

@@ -375,18 +375,68 @@ def fir_resample(taps, interpolation: int, decimation: int, x,
         y = _dispatch(taps_np, x, num, D, method)
         return y, 0
 
+    method = _pick_method(method, num, D, taps_np.shape[0])
+    if method == "direct":
+        # gather + per-output phase rows; fine on CPU / tiny blocks
+        table = prepare_phase_table(taps_np, I)       # [I, Kp]
+        Kp = table.shape[1]
+        i_m, o_m = _resample_positions(num, I, D, offset)
+        # device-side closed form (host copy above only sizes padding) —
+        # embedding [num]-sized tables as constants bloats compile payloads
+        t_dev = jnp.arange(num, dtype=jnp.int32) * D - offset
+        o_dev = jnp.mod(-t_dev, I)
+        i_dev = (t_dev + o_dev) // I
+        xr, rebuild = _as_real_batch(x)
+        W = _gather_windows(xr, i_m.astype(np.int64), Kp, i_dev)
+        rows = jnp.take(jnp.asarray(table), o_dev, axis=0)  # [num, Kp]
+        y = jnp.einsum("...mk,mk->...m", W, rows,
+                       preferred_element_type=jnp.float32)
+        return rebuild(y), end_offset
+    xr, rebuild = _as_real_batch(x)
+    return rebuild(_resample_conv(taps_np, I, D, xr, offset, num)), end_offset
+
+
+def _resample_conv(taps_np: np.ndarray, I: int, D: int, x, offset: int,
+                   num: int):
+    """Gather-free polyphase resampler: ONE strided conv with I output
+    channels.
+
+    Outputs with equal phase ``j = m mod I`` advance through the input by
+    exactly D samples (t grows by I*D per phase period, so i grows by D
+    with o fixed).  Fold each phase's input start offset ``i_j - i_min``
+    into its kernel as leading zeros; then
+
+        y[q*I + j] = sum_d  Kmat[j, d] * x[i_min + q*D + d]
+
+    is a stride-D VALID conv with I output channels, and the result only
+    needs a [Q, I] -> [Q*I] interleave (free relayout, no gather).  This is
+    the MXU formulation of the reference's per-group recurrence
+    (c_sources/resample.c:16-48) — all phases advance in lockstep instead
+    of sequentially.
+    """
     table = prepare_phase_table(taps_np, I)           # [I, Kp]
     Kp = table.shape[1]
-    i_m, o_m = _resample_positions(num, I, D, offset)
-    # device-side closed form (host copy above only sizes the padding) —
-    # embedding [num]-sized tables as constants bloats compile payloads
-    t_dev = jnp.arange(num, dtype=jnp.int32) * D - offset
-    o_dev = jnp.mod(-t_dev, I)
-    i_dev = (t_dev + o_dev) // I
-
-    xr, rebuild = _as_real_batch(x)
-    W = _gather_windows(xr, i_m.astype(np.int64), Kp, i_dev)
-    rows = jnp.take(jnp.asarray(table), o_dev, axis=0)  # [num, Kp]
-    y = jnp.einsum("...mk,mk->...m", W, rows,
-                   preferred_element_type=jnp.float32)
-    return rebuild(y), end_offset
+    J = min(I, num)
+    t_j = np.arange(I, dtype=np.int64) * D - offset
+    o_j = (-t_j) % I
+    i_j = (t_j + o_j) // I
+    i_min = int(i_j[:J].min())
+    L = int((i_j[:J] - i_min).max()) + Kp
+    Kmat = np.zeros((I, 1, L), dtype=np.float32)
+    for j in range(J):
+        s = int(i_j[j]) - i_min
+        Kmat[j, 0, s: s + Kp] = table[int(o_j[j])]
+    Q = -(-num // I)                                   # outputs per phase
+    need = i_min + (Q - 1) * D + L
+    n = x.shape[-1]
+    if need > n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - n)])
+    x = x[..., i_min:need]
+    lead = x.shape[:-1]
+    xb = x.reshape((-1, 1, x.shape[-1]))               # [B, 1, N']
+    y = jax.lax.conv_general_dilated(
+        xb, jnp.asarray(Kmat), window_strides=(D,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)            # [B, I, Q]
+    y = jnp.swapaxes(y, -1, -2).reshape(lead + (Q * I,))
+    return y[..., :num]
