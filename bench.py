@@ -68,7 +68,7 @@ def bench_fn(step, args, iters, warmup=3):
     return max(dt, 1e-9) / iters
 
 
-def bench_chain(method: str, block: int, iters: int = 30):
+def bench_chain(method: str, block: int, iters: int = 12):
     """Streaming FM-chain throughput: ``iters`` carry-chained steps.
 
     Primary form runs the steps INSIDE one program (the same structure as
@@ -113,26 +113,27 @@ def bench_chain(method: str, block: int, iters: int = 30):
     return (block // 2) / dt  # complex input samples/sec
 
 
-def _time_jit(fn, iters=30):
+def _time_jit(fn, iters=10):
     """Per-iteration device time of ``fn`` with the iteration loop INSIDE
-    the compiled program (lax.scan with a reduction dependency).
+    the compiled program (python-unrolled, summed into one scalar).
 
     Host-loop timing is useless on tunneled runtimes: per-execution RPC
-    overhead (~3 ms here) swamps microsecond kernels.  The scan body
-    perturbs the input per step so XLA cannot hoist the kernel out of the
-    loop, and folds a scalar of the output into the carry so it cannot
-    dead-code it.
+    overhead (~3 ms here) swamps microsecond kernels.  Unrolled rather
+    than lax.scan because the axon runtime rejects some scan-wrapped
+    kernels outright (UNIMPLEMENTED).  Each iteration perturbs the input
+    (fn receives the iteration index as a traced scalar) so XLA cannot
+    CSE the copies, and a scalar of every output folds into the result so
+    none can be dead-coded.
     """
     def looped():
-        def body(c, i):
-            y = fn(i)
+        acc = jnp.float32(0)
+        for i in range(iters):
+            y = fn(jnp.int32(i))
             first = jax.tree.leaves(y)[0]
             red = jnp.mean(jnp.abs(first)) if jnp.iscomplexobj(first) \
                 else jnp.mean(first)
-            return c + red.astype(jnp.float32) * 1e-6, None
-        out, _ = jax.lax.scan(body, jnp.float32(0),
-                              jnp.arange(iters, dtype=jnp.int32))
-        return out
+            acc = acc + red.astype(jnp.float32) * 1e-6
+        return acc[None]
 
     g = jax.jit(looped)
     _sync(g())
@@ -143,7 +144,7 @@ def _time_jit(fn, iters=30):
     return max(dt, 1e-9) / iters
 
 
-def bench_kernels(block: int = 1 << 20, iters: int = 30):
+def bench_kernels(block: int = 1 << 20, iters: int = 10, dump: str = None):
     """Per-kernel microbenchmarks — the Criterion variant matrix analog
     (benchmarks/Benchmarks.hs:79-156: {filter, decimate, resample} x
     {real, complex} x implementations + conversion + scale; tap-count
@@ -170,6 +171,9 @@ def bench_kernels(block: int = 1 << 20, iters: int = 30):
             out[name] = block / _time_jit(fn, iters)
         except Exception as e:  # noqa: BLE001
             print(f"{name}: {str(e)[:160]}", file=sys.stderr)
+        if dump:  # incremental: a later hang/timeout keeps earlier results
+            with open(dump, "w") as fh:
+                json.dump({k: float(v) for k, v in out.items()}, fh)
 
     methods = ("conv", "banded", "direct", "pallas")
     for ntaps in (32, 128, 512):
@@ -230,7 +234,11 @@ def main():
     block = 10_485_760  # 10 MiB u8 -> 5.24M complex samples / block
     results = {}
     best = None
-    for method in ("conv", "banded"):
+    # 'auto' resolves to the conv path at these shapes; running the
+    # explicit 'conv' spelling too doubles the chance one subprocess gets
+    # a clean measurement through the tunnel (identical graphs, so the
+    # second compile can hit the cache).
+    for method in ("auto", "conv"):
         rate = _chain_subprocess(method, block)
         if rate is not None:
             results[f"fm_chain_{method}"] = rate
@@ -249,15 +257,13 @@ def main():
         import subprocess
         r = subprocess.run(
             [sys.executable, "-c",
-             "import json, bench; json.dump({k: float(v) for k, v in "
-             "bench.bench_kernels(iters=10).items()}, open('"
-             "bench_kernels.json', 'w'))"],
+             "import bench; "
+             "bench.bench_kernels(iters=10, dump='bench_kernels.json')"],
             capture_output=True, text=True, timeout=1800)
-        if r.returncode == 0:
-            with open("bench_kernels.json") as fh:
-                results.update(json.load(fh))
-        else:
+        if r.returncode != 0:
             print(f"kernel bench failed: {r.stderr[-500:]}", file=sys.stderr)
+        with open("bench_kernels.json") as fh:
+            results.update(json.load(fh))  # whatever completed
     except Exception as e:  # noqa: BLE001
         print(f"kernel bench failed: {e}", file=sys.stderr)
 

@@ -33,16 +33,22 @@ def fm_taps():
     return rf, ars, afl
 
 
-def fm_chain(volume: float = 0.2, method: str = "auto"):
+def fm_chain(volume: float = 0.2, method: str = "auto",
+             planar: bool = False):
     """Broadcast FM receiver ops (config #1; examples/fm/fm.hs:32-41):
     u8 IQ -> decimate 8 -> FM demod -> 3/10 resample -> audio FIR -> volume.
 
     1.28 MS/s in, 48 kS/s mono audio out.
+
+    ``planar=True``: the complex segment (convert -> decimate -> demod)
+    runs in the planar-complex f32 layout — identical samples, no
+    complex64 materialization anywhere (the TPU-fast form; see
+    IqConvertU8).
     """
     rf, ars, afl = fm_taps()
-    return [IqConvertU8(),
+    return [IqConvertU8(planar=planar),
             Fir.decimator(rf, 8, method=method),
-            FmDemod(),
+            FmDemod(planar=planar),
             Fir.resampler(ars, 3, 10, method=method),
             Fir.filter(afl, method=method),
             Scale(volume)]

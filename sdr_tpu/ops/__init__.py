@@ -22,7 +22,8 @@ from sdr_tpu.ops.fir import (  # noqa: F401
     resample_end_offset,
     prepare_phase_table,
 )
-from sdr_tpu.ops.demod import fm_demod, am_demod, fm_mod  # noqa: F401
+from sdr_tpu.ops.demod import (fm_demod, fm_demod_planar,  # noqa: F401
+                               am_demod, fm_mod)
 from sdr_tpu.ops.scans import dc_blocker, agc, linear_scan  # noqa: F401
 from sdr_tpu.ops.fftops import (  # noqa: F401
     fft,

@@ -18,7 +18,9 @@ import jax.numpy as jnp
 
 __all__ = [
     "iq_u8_to_cfloat",
+    "iq_u8_to_planar",
     "iq_i16_to_cfloat",
+    "iq_i16_to_planar",
     "cfloat_to_iq_i16",
     "scale",
     "cplx_map",
@@ -43,6 +45,35 @@ def iq_u8_to_cfloat(x):
     i = (u16 & jnp.uint16(0xFF)).astype(jnp.float32)
     q = (u16 >> jnp.uint16(8)).astype(jnp.float32)
     return jax.lax.complex((i - 128.0) / 128.0, (q - 128.0) / 128.0)
+
+
+def iq_u8_to_planar(x):
+    """Interleaved unsigned-byte I/Q -> planar float32 ``[..., 2, n]``.
+
+    Same conversion as :func:`iq_u8_to_cfloat` but the result stays in the
+    planar-complex layout (component plane axis at -2, real first) — the
+    TPU-native stream representation: complex64 is interleaved (re, im)
+    pairs in memory, so handing downstream ops separate components from a
+    complex array costs a stride-2 relayout of the whole block; a planar
+    stream never pays it.
+    """
+    x = jnp.asarray(x)
+    u16 = jax.lax.bitcast_convert_type(
+        x.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2)), jnp.uint16)
+    i = (u16 & jnp.uint16(0xFF)).astype(jnp.float32)
+    q = (u16 >> jnp.uint16(8)).astype(jnp.float32)
+    return jnp.stack([(i - 128.0) / 128.0, (q - 128.0) / 128.0], axis=-2)
+
+
+def iq_i16_to_planar(x):
+    """Interleaved signed-16-bit I/Q -> planar float32 ``[..., 2, n]``
+    (see :func:`iq_u8_to_planar`)."""
+    x = jnp.asarray(x).astype(jnp.int16)
+    i32 = jax.lax.bitcast_convert_type(
+        x.reshape(x.shape[:-1] + (x.shape[-1] // 2, 2)), jnp.int32)
+    i = ((i32 << jnp.int32(16)) >> jnp.int32(16)).astype(jnp.float32)
+    q = (i32 >> jnp.int32(16)).astype(jnp.float32)
+    return jnp.stack([i / 2048.0, q / 2048.0], axis=-2)
 
 
 def iq_i16_to_cfloat(x):

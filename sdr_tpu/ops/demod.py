@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["fm_demod", "am_demod", "fm_mod"]
+__all__ = ["fm_demod", "fm_demod_planar", "am_demod", "fm_mod"]
 
 
 def fm_mod(x, sensitivity: float, phase=0.0, amplitude: float = 1.0):
@@ -57,6 +57,29 @@ def fm_demod(x, last=None):
         [jnp.asarray(last)[..., None], x[..., :-1]], axis=-1)
     y = jnp.angle(x * jnp.conj(prev))
     return y, x[..., -1]
+
+
+def fm_demod_planar(x, last=None):
+    """:func:`fm_demod` on planar-complex input ``x[..., 2, n]`` (component
+    plane axis at -2, real first).
+
+    The planar layout is the TPU-native representation of complex streams:
+    complex64 in memory is interleaved (re, im) pairs, so every op that
+    consumes it as separate components pays a stride-2 lane relayout of the
+    whole block; planar streams pay it nowhere.  Same math as
+    angle(x * conj(prev)) expanded into atan2.
+
+    ``last``: previous block's final sample as ``[..., 2]`` (zeros
+    default).  Returns ``(y[..., n], new_last[..., 2])``.
+    """
+    if last is None:
+        last = jnp.zeros(x.shape[:-2] + (2,), dtype=x.dtype)
+    prev = jnp.concatenate([jnp.asarray(last)[..., None], x[..., :-1]],
+                           axis=-1)
+    re, im = x[..., 0, :], x[..., 1, :]
+    pre, pim = prev[..., 0, :], prev[..., 1, :]
+    y = jnp.arctan2(im * pre - re * pim, re * pre + im * pim)
+    return y, x[..., :, -1]
 
 
 def am_demod(x):

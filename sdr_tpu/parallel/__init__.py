@@ -13,6 +13,7 @@ from sdr_tpu.parallel.halo import (  # noqa: F401
 from sdr_tpu.parallel.sharded import (  # noqa: F401
     time_sharded_fn,
     run_time_sharded,
+    run_time_batched,
     run_channel_sharded,
     run_grid_sharded,
 )

@@ -20,30 +20,36 @@ import jax.numpy as jnp
 __all__ = ["left_halo", "right_shift_scalar", "exclusive_affine_prefix"]
 
 
-def _shift_right_perm(n: int):
-    """Permutation sending shard i -> i+1 (shard 0 receives zeros)."""
-    return [(i, i + 1) for i in range(n - 1)]
+def _rotate_right(v, axis_name: str):
+    """Full-rotation ppermute i -> (i+1) % n, then zero what shard 0
+    received (the wrapped message from the last shard).
+
+    A *full* permutation rather than the open chain ``i -> i+1`` so the
+    same code runs under ``shard_map`` (real collective over ICI) and under
+    ``vmap`` with an ``axis_name`` (single-device block-parallel execution
+    — vmap's ppermute batching rule requires a bijection).
+    """
+    n_shards = jax.lax.axis_size(axis_name)
+    if n_shards == 1:
+        return jnp.zeros_like(v)
+    out = jax.lax.ppermute(v, axis_name,
+                           [(i, (i + 1) % n_shards) for i in range(n_shards)])
+    first = jax.lax.axis_index(axis_name) == 0
+    return jnp.where(first, jnp.zeros_like(out), out)
 
 
 def left_halo(x, h: int, axis_name: str):
     """Return the last ``h`` samples of the left neighbor's block.
 
     ``x``: this shard's local block [..., n].  Result: [..., h]; zeros on
-    shard 0.  (ppermute zero-fills shards that receive no message.)
+    shard 0 (identical to the streaming runtime's zero-padded warmup).
     """
-    n_shards = jax.lax.axis_size(axis_name)
-    tail = x[..., x.shape[-1] - h:]
-    if n_shards == 1:
-        return jnp.zeros_like(tail)
-    return jax.lax.ppermute(tail, axis_name, _shift_right_perm(n_shards))
+    return _rotate_right(x[..., x.shape[-1] - h:], axis_name)
 
 
 def right_shift_scalar(v, axis_name: str):
     """Send a per-shard value to the right neighbor (shard 0 gets zeros)."""
-    n_shards = jax.lax.axis_size(axis_name)
-    if n_shards == 1:
-        return jnp.zeros_like(v)
-    return jax.lax.ppermute(v, axis_name, _shift_right_perm(n_shards))
+    return _rotate_right(v, axis_name)
 
 
 def exclusive_affine_prefix(a, b, axis_name: str):

@@ -22,12 +22,14 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from sdr_tpu.stream.block import StreamOp
 from sdr_tpu.stream.pipeline import Pipeline
 
-__all__ = ["time_sharded_fn", "run_time_sharded", "run_channel_sharded",
+__all__ = ["time_sharded_fn", "run_time_sharded", "run_time_batched",
+           "run_channel_sharded",
            "run_grid_sharded"]
 
 
@@ -81,6 +83,34 @@ def run_time_sharded(ops: Sequence[StreamOp], mesh: Mesh, x,
                             out_specs=_out_spec(ops, x.ndim, axis_name),
                             check_vma=False)
     return sharded(x)
+
+
+def run_time_batched(ops: Sequence[StreamOp], x, nblocks: int,
+                     axis_name: str = "b"):
+    """Single-device block-PARALLEL processing of a recorded signal.
+
+    The same seam algebra as :func:`run_time_sharded` — FIR halos, demod
+    lag, closed-form resampler phase, affine-prefix recurrences — but the
+    "shards" are rows of a [nblocks, n] batch on ONE device (``vmap`` with
+    an ``axis_name``, under which the halo collectives become cheap
+    in-memory rotations).  This is the throughput formulation of offline
+    processing: a sequential carry-chained block loop leaves the chip idle
+    between dependent dispatches, whereas here every block's convs batch
+    into single large MXU ops.  Output equals the sequential streamed run
+    exactly (same warmup zeros; tested in test_parallel.py).
+    """
+    n = x.shape[-1]
+    if n % nblocks:
+        raise ValueError(f"signal length {n} not divisible by {nblocks}")
+    Pipeline(ops, block_in=n // nblocks, in_dtype=x.dtype,
+             batch_shape=x.shape[:-1])
+    lead = x.shape[:-1]
+    xb = jnp.moveaxis(x.reshape(lead + (nblocks, n // nblocks)),
+                      -2, 0)
+    fn = time_sharded_fn(ops, axis_name)
+    yb = jax.vmap(fn, axis_name=axis_name)(xb)
+    # restack: [nblocks, *lead, ...per-block] -> [*lead, stream, ...]
+    return Pipeline._restack(yb, lead)
 
 
 def run_channel_sharded(ops: Sequence[StreamOp], mesh: Mesh, x, carries=None,

@@ -54,6 +54,17 @@ class StreamOp:
     def out_dtype(self, in_dtype):
         return in_dtype
 
+    def map_batch_shape(self, batch_shape: tuple) -> tuple:
+        """Batch (leading) dims of this op's OUTPUT given its input's.
+
+        Most ops preserve them; ops that emit a new per-stream axis that
+        downstream ops treat as batch (Channelize's channel axis, the
+        planar-IQ converters' [2] component axis) append to it, and ops
+        that consume such an axis (planar FmDemod) drop it.  Pipeline uses
+        this to shape every stage's carry.
+        """
+        return batch_shape
+
     def init_carry(self, n_in: int, in_dtype, batch_shape=()) -> Any:
         return ()
 

@@ -42,7 +42,17 @@ __all__ = [
 
 
 class IqConvertU8(StreamOp):
-    """Interleaved u8 I/Q -> complex64 (RTL-SDR front end)."""
+    """Interleaved u8 I/Q -> complex64 (RTL-SDR front end).
+
+    ``planar=True`` emits the planar-complex layout instead: f32 with a
+    [2] component axis prepended to the block axis (real plane first).
+    Downstream real-tap FIR stages are representation-agnostic (the plane
+    axis batches), so a planar chain runs with zero complex<->planar
+    relayouts; pair with ``FmDemod(planar=True)``.
+    """
+
+    def __init__(self, planar: bool = False):
+        self.planar = planar
 
     def out_len(self, n_in):
         if n_in % 2:
@@ -50,14 +60,25 @@ class IqConvertU8(StreamOp):
         return n_in // 2
 
     def out_dtype(self, in_dtype):
-        return jnp.complex64
+        return jnp.float32 if self.planar else jnp.complex64
+
+    def map_batch_shape(self, batch_shape):
+        return batch_shape + (2,) if self.planar else batch_shape
 
     def apply(self, carry, x):
-        return carry, convert.iq_u8_to_cfloat(x)
+        fn = convert.iq_u8_to_planar if self.planar \
+            else convert.iq_u8_to_cfloat
+        return carry, fn(x)
 
 
 class IqConvertI16(StreamOp):
-    """Interleaved i16 I/Q -> complex64 (BladeRF front end)."""
+    """Interleaved i16 I/Q -> complex64 (BladeRF front end).
+
+    ``planar=True`` as in :class:`IqConvertU8`.
+    """
+
+    def __init__(self, planar: bool = False):
+        self.planar = planar
 
     def out_len(self, n_in):
         if n_in % 2:
@@ -65,10 +86,15 @@ class IqConvertI16(StreamOp):
         return n_in // 2
 
     def out_dtype(self, in_dtype):
-        return jnp.complex64
+        return jnp.float32 if self.planar else jnp.complex64
+
+    def map_batch_shape(self, batch_shape):
+        return batch_shape + (2,) if self.planar else batch_shape
 
     def apply(self, carry, x):
-        return carry, convert.iq_i16_to_cfloat(x)
+        fn = convert.iq_i16_to_planar if self.planar \
+            else convert.iq_i16_to_cfloat
+        return carry, fn(x)
 
 
 class Fir(StreamOp):
@@ -168,16 +194,30 @@ class Fir(StreamOp):
 
 
 class FmDemod(StreamOp):
-    """FM demodulation with last-sample carry (Demod.hs:39-46)."""
+    """FM demodulation with last-sample carry (Demod.hs:39-46).
+
+    ``planar=True``: input is planar-complex ``[..., 2, n]`` f32 (from
+    ``IqConvertU8(planar=True)``); the carry is the previous block's final
+    (re, im) pair and the plane axis is consumed.
+    """
+
+    def __init__(self, planar: bool = False):
+        self.planar = planar
 
     def out_dtype(self, in_dtype):
         return jnp.float32
 
+    def map_batch_shape(self, batch_shape):
+        return batch_shape[:-1] if self.planar else batch_shape
+
     def init_carry(self, n_in, in_dtype, batch_shape=()):
+        # planar: batch_shape ends with the [2] plane axis, which is
+        # exactly the (re, im) carry shape needed
         return jnp.zeros(batch_shape, dtype=in_dtype)
 
     def apply(self, carry, x):
-        y, last = demod.fm_demod(x, carry)
+        fn = demod.fm_demod_planar if self.planar else demod.fm_demod
+        y, last = fn(x, carry)
         return last, y
 
     def shard_carry(self, x, axis_name):
@@ -456,6 +496,10 @@ class Channelize(StreamOp):
 
     def out_dtype(self, in_dtype):
         return jnp.complex64
+
+    def map_batch_shape(self, batch_shape):
+        # downstream ops see the emitted channel axis as a batch dim
+        return batch_shape + (self.n_channels,)
 
     def init_carry(self, n_in, in_dtype, batch_shape=()):
         H = (self.taps_per_branch - 1) * self.n_channels

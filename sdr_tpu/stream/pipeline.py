@@ -73,9 +73,10 @@ class Pipeline:
         self.block_in = int(block_in)
         self.in_dtype = in_dtype
         self.batch_shape = tuple(batch_shape)
-        # static rate/dtype propagation
+        # static rate/dtype/batch-shape propagation
         self.lens = [self.block_in]
         self.dtypes = [in_dtype]
+        self.bshapes = [self.batch_shape]
         for i, op in enumerate(self.ops):
             try:
                 self.lens.append(op.out_len(self.lens[-1]))
@@ -84,6 +85,7 @@ class Pipeline:
                     f"stage {i} ({op!r}) rejects block of {self.lens[-1]} "
                     f"samples: {e}") from None
             self.dtypes.append(op.out_dtype(self.dtypes[-1]))
+            self.bshapes.append(op.map_batch_shape(self.bshapes[-1]))
         self.block_out = self.lens[-1]
         self.out_dtype = self.dtypes[-1]
 
@@ -91,8 +93,9 @@ class Pipeline:
 
     def init(self):
         """Initial carry pytree (a list, one entry per op)."""
-        return [op.init_carry(n, dt, self.batch_shape)
-                for op, n, dt in zip(self.ops, self.lens, self.dtypes)]
+        return [op.init_carry(n, dt, bs)
+                for op, n, dt, bs in
+                zip(self.ops, self.lens, self.dtypes, self.bshapes)]
 
     # -- execution ---------------------------------------------------------
 

@@ -129,3 +129,28 @@ def test_agc_time_sharding_raises(rng, mesh8):
     x = (np.ones(8192) + 0j).astype(np.complex64)
     with pytest.raises(NotImplementedError):
         parallel.run_time_sharded([Agc(0.01, 1.0)], mesh8, jnp.asarray(x))
+
+
+def test_time_batched_matches_sequential(rng):
+    """run_time_batched (vmap block-parallel on one device) reproduces the
+    sequential streamed run exactly — the offline-throughput execution
+    path used by the bench headline."""
+    from sdr_tpu.apps.chains import fm_chain
+    from sdr_tpu.stream import Pipeline
+
+    block, B = 163840, 8
+    ops = fm_chain(method="conv")
+    raw = rng.integers(0, 256, B * block).astype(np.uint8)
+    p = Pipeline(ops, block_in=block, in_dtype=jnp.uint8)
+    _, seq = p.process(raw)
+    par = np.asarray(parallel.run_time_batched(ops, jnp.asarray(raw), B))
+    np.testing.assert_allclose(par, np.asarray(seq), atol=1e-5)
+
+
+def test_time_batched_dc_blocker_exact(rng):
+    """Affine-prefix recurrence composition works under vmap too."""
+    x = rng.normal(size=16384).astype(np.float32)
+    want = single_device_reference([DcBlocker()], x, 2048)
+    got = np.asarray(parallel.run_time_batched([DcBlocker()],
+                                               jnp.asarray(x), 8))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
