@@ -14,12 +14,20 @@ contract on stdout stays a single line.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Compiles through the tunneled TPU runtime cost 1-10 min each regardless of
+# program size; the persistent cache turns warm reruns into seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 BASELINE_PER_CHIP = 10e9 / 16  # BASELINE.md: >=10 GS/s aggregate on v5e-16

@@ -34,7 +34,7 @@ def fm_taps():
 
 
 def fm_chain(volume: float = 0.2, method: str = "auto",
-             planar: bool = False):
+             planar: bool = False, front: str = "exact"):
     """Broadcast FM receiver ops (config #1; examples/fm/fm.hs:32-41):
     u8 IQ -> decimate 8 -> FM demod -> 3/10 resample -> audio FIR -> volume.
 
@@ -44,14 +44,27 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
     runs in the planar-complex f32 layout — identical samples, no
     complex64 materialization anywhere (the TPU-fast form; see
     IqConvertU8).
+
+    ``front``: 'exact' keeps convert and decimate as separate f32 stages;
+    'quantized' fuses them into the int8-MXU front end (U8FrontEnd,
+    ~2e-4 abs difference from tap quantization, 50x inside the 0.01
+    differential bound; the fast path on TPU); 'auto' picks quantized on
+    TPU.  'quantized' implies the planar demod.
     """
     rf, ars, afl = fm_taps()
+    if front == "auto":
+        from sdr_tpu.utils.device import on_tpu
+        front = "quantized" if on_tpu() else "exact"
+    back = [Fir.resampler(ars, 3, 10, method=method),
+            Fir.filter(afl, method=method),
+            Scale(volume)]
+    if front == "quantized":
+        from sdr_tpu.stream import U8FrontEnd
+        return [U8FrontEnd(rf, 8), FmDemod(planar=True), *back]
     return [IqConvertU8(planar=planar),
             Fir.decimator(rf, 8, method=method),
             FmDemod(planar=planar),
-            Fir.resampler(ars, 3, 10, method=method),
-            Fir.filter(afl, method=method),
-            Scale(volume)]
+            *back]
 
 
 def am_chain(if_freq: float = 0.25, decim: int = 16, agc_mu: float = 0.005,

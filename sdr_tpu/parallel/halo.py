@@ -20,9 +20,9 @@ import jax.numpy as jnp
 __all__ = ["left_halo", "right_shift_scalar", "exclusive_affine_prefix"]
 
 
-def _rotate_right(v, axis_name: str):
-    """Full-rotation ppermute i -> (i+1) % n, then zero what shard 0
-    received (the wrapped message from the last shard).
+def _rotate_right(v, axis_name: str, fill=0):
+    """Full-rotation ppermute i -> (i+1) % n, then overwrite what shard 0
+    received (the wrapped message from the last shard) with ``fill``.
 
     A *full* permutation rather than the open chain ``i -> i+1`` so the
     same code runs under ``shard_map`` (real collective over ICI) and under
@@ -30,21 +30,24 @@ def _rotate_right(v, axis_name: str):
     — vmap's ppermute batching rule requires a bijection).
     """
     n_shards = jax.lax.axis_size(axis_name)
+    filled = jnp.full_like(v, fill)
     if n_shards == 1:
-        return jnp.zeros_like(v)
+        return filled
     out = jax.lax.ppermute(v, axis_name,
                            [(i, (i + 1) % n_shards) for i in range(n_shards)])
     first = jax.lax.axis_index(axis_name) == 0
-    return jnp.where(first, jnp.zeros_like(out), out)
+    return jnp.where(first, filled, out)
 
 
-def left_halo(x, h: int, axis_name: str):
+def left_halo(x, h: int, axis_name: str, fill=0):
     """Return the last ``h`` samples of the left neighbor's block.
 
-    ``x``: this shard's local block [..., n].  Result: [..., h]; zeros on
-    shard 0 (identical to the streaming runtime's zero-padded warmup).
+    ``x``: this shard's local block [..., n].  Result: [..., h]; ``fill``
+    on shard 0 (default zeros, identical to the streaming runtime's
+    zero-padded warmup; raw-byte streams use their neutral code instead,
+    e.g. 0x80 for excess-128 IQ).
     """
-    return _rotate_right(x[..., x.shape[-1] - h:], axis_name)
+    return _rotate_right(x[..., x.shape[-1] - h:], axis_name, fill)
 
 
 def right_shift_scalar(v, axis_name: str):

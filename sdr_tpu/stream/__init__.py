@@ -4,6 +4,7 @@ from sdr_tpu.stream.block import StreamOp  # noqa: F401
 from sdr_tpu.stream.ops import (  # noqa: F401
     IqConvertU8,
     IqConvertI16,
+    U8FrontEnd,
     Fir,
     FmDemod,
     AmDemod,

@@ -35,7 +35,8 @@ from sdr_tpu.ops import channelize as chanz
 from sdr_tpu.stream.block import StreamOp
 
 __all__ = [
-    "IqConvertU8", "IqConvertI16", "Fir", "FmDemod", "AmDemod", "Agc",
+    "IqConvertU8", "IqConvertI16", "U8FrontEnd", "Fir", "FmDemod",
+    "AmDemod", "Agc",
     "DcBlocker", "Scale", "Mix", "Map", "FftStream", "Channelize",
     "FmMod", "Iir",
 ]
@@ -95,6 +96,63 @@ class IqConvertI16(StreamOp):
         fn = convert.iq_i16_to_planar if self.planar \
             else convert.iq_i16_to_cfloat
         return carry, fn(x)
+
+
+class U8FrontEnd(StreamOp):
+    """Fused u8-IQ convert + decimating FIR on the int8 MXU
+    (ops/quantized.py) — the receive chain's front half as two s8 matmuls.
+
+    Input: interleaved u8 IQ ``[..., 2n]``; output: decimated planar
+    f32 ``[..., 2, n/factor]``.  Replaces the
+    ``IqConvertU8(planar=True) -> Fir.decimator(taps, factor)`` pair with
+    identical semantics to ~2e-4 (16-bit tap quantization; the reference's
+    differential bound is 0.01).  Carry: trailing ``2*(K - factor)`` raw
+    bytes (overlap-save, in wire format).
+    """
+
+    def __init__(self, taps, factor: int):
+        self.taps = np.asarray(taps, dtype=np.float32)
+        self.factor = int(factor)
+        self.n_taps = self.taps.shape[0]
+
+    def out_len(self, n_in):
+        if n_in % 2:
+            raise ValueError("interleaved IQ needs even block")
+        n = n_in // 2
+        if n % self.factor:
+            raise ValueError(
+                f"complex block {n} not divisible by factor {self.factor}")
+        return n // self.factor
+
+    def out_dtype(self, in_dtype):
+        return jnp.float32
+
+    def map_batch_shape(self, batch_shape):
+        return batch_shape + (2,)
+
+    def _hist_bytes(self, n_in):
+        return 2 * max(0, self.n_taps - self.factor)
+
+    def init_carry(self, n_in, in_dtype, batch_shape=()):
+        # batch_shape is input-side (no plane axis yet).  History is raw
+        # bytes; the stream's zero SAMPLE is the byte 0x80 ((x-128)/128),
+        # so warmup history must be 0x80-filled, not zero-filled.
+        return jnp.full(batch_shape + (self._hist_bytes(n_in),), 0x80,
+                        dtype=jnp.uint8)
+
+    def apply(self, carry, x):
+        from sdr_tpu.ops.quantized import fir_decimate_u8_planar
+        n_out = self.out_len(x.shape[-1])
+        xext = jnp.concatenate([carry, x], axis=-1)
+        y = fir_decimate_u8_planar(self.taps, self.factor, xext, n_out)
+        H = carry.shape[-1]
+        new = xext[..., xext.shape[-1] - H:] if H else carry
+        return new, y
+
+    def shard_carry(self, x, axis_name):
+        from sdr_tpu.parallel.halo import left_halo
+        return left_halo(x, self._hist_bytes(x.shape[-1]), axis_name,
+                         fill=0x80)
 
 
 class Fir(StreamOp):

@@ -1,0 +1,96 @@
+"""Int8-MXU fused front end (ops/quantized.py, stream.U8FrontEnd).
+
+Differential-tested against the exact f32 path (convert -> decimate), the
+same strategy the reference applies across its kernel variants
+(tests/TestSuite.hs:284-289, bound 0.01); the quantized path carries a
+16-bit tap quantization so the practical bound here is ~1e-3.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sdr_tpu.ops import fir, convert
+from sdr_tpu.ops.quantized import fir_decimate_u8_planar
+from sdr_tpu.stream import Pipeline, IqConvertU8, Fir, U8FrontEnd
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+@pytest.mark.parametrize("K,f,n", [(51, 8, 1 << 14), (64, 16, 1 << 13),
+                                   (33, 4, 5000), (7, 1, 4096),
+                                   (129, 8, 1 << 13)])
+def test_u8_front_matches_f32(rng, K, f, n):
+    raw = rng.integers(0, 256, 2 * n).astype(np.uint8)
+    taps = rng.uniform(-1, 1, K).astype(np.float32)
+    num = (n - K) // f + 1
+    xc = convert.iq_u8_to_cfloat(jnp.asarray(raw))
+    ref = np.asarray(fir.fir_decimate(taps, f, xc, num, method="direct"))
+    got = np.asarray(fir_decimate_u8_planar(taps, f, jnp.asarray(raw), num))
+    np.testing.assert_allclose(got[0] + 1j * got[1], ref, atol=1e-3)
+
+
+def test_u8_front_batched_lead_dims(rng):
+    raw = rng.integers(0, 256, (3, 2 * 4096)).astype(np.uint8)
+    taps = rng.uniform(-1, 1, 31).astype(np.float32)
+    num = (4096 - 31) // 4 + 1
+    got = np.asarray(fir_decimate_u8_planar(taps, 4, jnp.asarray(raw), num))
+    assert got.shape == (3, 2, num)
+    for b in range(3):
+        ref = np.asarray(fir_decimate_u8_planar(taps, 4,
+                                                jnp.asarray(raw[b]), num))
+        np.testing.assert_allclose(got[b], ref, atol=1e-6)
+
+
+def test_u8_frontend_stream_matches_exact_stages(rng):
+    """Blockwise U8FrontEnd == [IqConvertU8(planar) -> Fir.decimator]
+    including the cross-block seam (0x80 warmup bytes = zero samples)."""
+    from sdr_tpu.apps.chains import fm_taps
+    block, B = 16384, 5
+    raw = rng.integers(0, 256, B * block).astype(np.uint8)
+    rf = fm_taps()[0]
+    pe = Pipeline([IqConvertU8(planar=True),
+                   Fir.decimator(rf, 8, method="conv")],
+                  block_in=block, in_dtype=jnp.uint8)
+    pq = Pipeline([U8FrontEnd(rf, 8)], block_in=block, in_dtype=jnp.uint8)
+    _, ye = pe.process(raw)
+    _, yq = pq.process(raw)
+    np.testing.assert_allclose(np.asarray(yq), np.asarray(ye), atol=1e-3)
+
+
+def test_quantized_fm_chain_parity():
+    """Full quantized chain vs exact chain on a constant-envelope FM
+    signal (random IQ would amplify front-end LSB noise through the
+    demod's 1/|x| phase sensitivity — not a kernel property)."""
+    from sdr_tpu.apps.chains import fm_chain
+    fs, n = 1_280_000, 163840 * 2
+    t = np.arange(n) / fs
+    audio = np.sin(2 * np.pi * 1000 * t)
+    iq = 0.9 * np.exp(1j * (2 * np.pi * 75e3 * np.cumsum(audio) / fs))
+    raw = np.empty(2 * n, np.uint8)
+    raw[0::2] = np.clip(np.round(iq.real * 128 + 128), 0, 255)
+    raw[1::2] = np.clip(np.round(iq.imag * 128 + 128), 0, 255)
+    pe = Pipeline(fm_chain(method="conv"), block_in=163840,
+                  in_dtype=jnp.uint8)
+    pq = Pipeline(fm_chain(method="conv", front="quantized"),
+                  block_in=163840, in_dtype=jnp.uint8)
+    _, ye = pe.process(raw)
+    _, yq = pq.process(raw)
+    np.testing.assert_allclose(np.asarray(yq), np.asarray(ye), atol=1e-3)
+
+
+def test_quantized_chain_time_batched(rng):
+    """Block-parallel (vmap) execution of the quantized chain equals its
+    sequential streamed run."""
+    from sdr_tpu.apps.chains import fm_chain
+    from sdr_tpu import parallel
+    block, B = 163840, 4
+    raw = rng.integers(0, 256, B * block).astype(np.uint8)
+    ops = fm_chain(method="conv", front="quantized")
+    p = Pipeline(ops, block_in=block, in_dtype=jnp.uint8)
+    _, seq = p.process(raw)
+    par = np.asarray(parallel.run_time_batched(ops, jnp.asarray(raw), B))
+    np.testing.assert_allclose(par, np.asarray(seq), atol=1e-5)
