@@ -76,7 +76,35 @@ def bench_fn(step, args, iters, warmup=3):
     return max(dt, 1e-9) / iters
 
 
-def bench_chain(method: str, block: int, iters: int = 12):
+def bench_chain_batched(method: str = "conv", front: str = "auto",
+                        block: int = 10_485_760, nblocks: int = 32):
+    """Offline/recorded-stream throughput: ``nblocks`` blocks processed
+    block-PARALLEL in one program (parallel.run_time_batched semantics —
+    same samples as the sequential streamed run, proven in
+    tests/test_quantized.py).  This is the headline formulation: the chain
+    has no sequential dependency beyond bounded halos, so a TPU should
+    crunch the whole buffer at once, not dribble carry-chained blocks.
+    """
+    from sdr_tpu.apps.chains import fm_chain
+    from sdr_tpu.parallel.sharded import time_sharded_fn
+
+    ops = fm_chain(method=method, front=front)
+    rng = np.random.default_rng(0)
+    xb = jnp.asarray(rng.integers(0, 256, (nblocks, block), dtype=np.uint8))
+    fn = time_sharded_fn(ops, axis_name="b")
+    g = jax.jit(lambda r: jnp.mean(jax.vmap(fn, axis_name="b")(r))[None])
+    _sync(g(xb))
+    null = null_rpc_time(3)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(g(xb))
+        ts.append(time.perf_counter() - t0 - null)
+    return (nblocks * block // 2) / max(min(ts), 1e-9)
+
+
+def bench_chain(method: str, block: int, iters: int = 12,
+                front: str = "auto"):
     """Streaming FM-chain throughput: ``iters`` carry-chained steps.
 
     Primary form runs the steps INSIDE one program (the same structure as
@@ -89,7 +117,7 @@ def bench_chain(method: str, block: int, iters: int = 12):
     from sdr_tpu.apps.chains import fm_chain
     from sdr_tpu.stream import Pipeline
 
-    p = Pipeline(fm_chain(method=method), block_in=block,
+    p = Pipeline(fm_chain(method=method, front=front), block_in=block,
                  in_dtype=jnp.uint8)
     rng = np.random.default_rng(0)
     n_src = 4  # distinct source blocks cycled through the loop
@@ -211,27 +239,32 @@ def bench_kernels(block: int = 1 << 20, iters: int = 10, dump: str = None):
     case("fft_1024_batch",
          lambda i: jnp.abs(fftops.fft(perturbc(i).reshape(-1, 1024))))
     case("dc_blocker", lambda i: scans.dc_blocker(perturb(i))[0])
+    # fused int8-MXU front end (convert + decimate-by-8, 51 taps)
+    from sdr_tpu.ops.quantized import fir_decimate_u8_planar
+    taps51 = rng.uniform(-1, 1, 51).astype(np.float32)
+    case("u8_front_k51_d8_int8",
+         lambda i: fir_decimate_u8_planar(
+             taps51, 8, raw + i.astype(jnp.uint8),
+             (block // 2 - 51) // 8 + 1))
     return out
 
 
-def _chain_subprocess(method: str, block: int, attempts: int = 3):
-    """Run one chain bench in a subprocess with retry + cooldown.
+def _chain_subprocess(code: str, tag: str, attempts: int = 3):
+    """Run one chain bench snippet in a subprocess with retry + cooldown.
 
     The tunneled TPU runtime 'poisons' a client (and itself, for minutes)
     on certain failures; isolation + patience gets a number through."""
     import subprocess
-    code = ("import json, bench; "
-            f"print(json.dumps(bench.bench_chain({method!r}, {block})))")
     for attempt in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                capture_output=True, text=True, timeout=900)
             if r.returncode == 0:
                 return float(r.stdout.strip().splitlines()[-1])
-            print(f"fm_chain_{method} attempt {attempt}: "
+            print(f"{tag} attempt {attempt}: "
                   f"{r.stderr[-300:]}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
-            print(f"fm_chain_{method} attempt {attempt}: {e}",
+            print(f"{tag} attempt {attempt}: {e}",
                   file=sys.stderr)
         if attempt + 1 < attempts:
             time.sleep(240)  # tunnel recovery window
@@ -241,22 +274,38 @@ def _chain_subprocess(method: str, block: int, attempts: int = 3):
 def main():
     block = 10_485_760  # 10 MiB u8 -> 5.24M complex samples / block
     results = {}
-    best = None
-    # 'auto' resolves to the conv path at these shapes; running the
-    # explicit 'conv' spelling too doubles the chance one subprocess gets
-    # a clean measurement through the tunnel (identical graphs, so the
-    # second compile can hit the cache).
-    for method in ("auto", "conv"):
-        rate = _chain_subprocess(method, block)
+    # headline: block-parallel recorded-stream processing (32 blocks in
+    # one program); fallback/secondary: carry-chained streaming steps
+    cases = [
+        ("fm_chain_batched",
+         "import json, bench; "
+         "print(json.dumps(bench.bench_chain_batched('conv', 'auto')))"),
+        ("fm_chain_stream",
+         "import json, bench; "
+         f"print(json.dumps(bench.bench_chain('conv', {block})))"),
+    ]
+    for tag, code in cases:
+        rate = _chain_subprocess(code, tag)
         if rate is not None:
-            results[f"fm_chain_{method}"] = rate
-            if best is None or rate > best[1]:
-                best = (method, rate)
+            results[tag] = rate
+    best = None
+    for tag in ("fm_chain_batched", "fm_chain_stream"):
+        if tag in results and (best is None or results[tag] > best[1]):
+            best = (tag, results[tag])
     if best is None:
         print(json.dumps({"metric": "fm_chain_samples_per_sec_per_chip",
                           "value": 0, "unit": "complex S/s",
                           "vs_baseline": 0.0}))
         return 1
+
+    # headline FIRST (cold compiles below can outlive the caller's budget;
+    # stdout contract stays one JSON line either way)
+    print(json.dumps({
+        "metric": "fm_chain_samples_per_sec_per_chip",
+        "value": round(best[1]),
+        "unit": "complex S/s",
+        "vs_baseline": round(best[1] / BASELINE_PER_CHIP, 3),
+    }), flush=True)
 
     # kernel matrix in a subprocess: a backend bug in one case (the axon
     # runtime "poisons" a client on certain failures) must not take down
@@ -284,12 +333,6 @@ def main():
     except OSError:
         pass
 
-    print(json.dumps({
-        "metric": "fm_chain_samples_per_sec_per_chip",
-        "value": round(best[1]),
-        "unit": "complex S/s",
-        "vs_baseline": round(best[1] / BASELINE_PER_CHIP, 3),
-    }))
     return 0
 
 

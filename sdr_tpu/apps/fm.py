@@ -32,6 +32,15 @@ def main(argv=None):
     ap.add_argument("--volume", type=float, default=0.2)
     ap.add_argument("--method", default="auto",
                     choices=["auto", "direct", "banded", "conv", "pallas"])
+    ap.add_argument("--front", default="auto",
+                    choices=["auto", "exact", "quantized"],
+                    help="front end: exact f32 stages or the fused "
+                         "int8-MXU convert+decimate (auto: quantized "
+                         "on TPU)")
+    ap.add_argument("--batched", type=int, default=0, metavar="B",
+                    help="process B blocks block-parallel per dispatch "
+                         "(offline-throughput path; 0 = stream "
+                         "sequentially)")
     ap.add_argument("--meter", action="store_true",
                     help="print throughput while running")
     ap.add_argument("--native", action="store_true",
@@ -39,7 +48,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     audio_rate = args.rate // 8 * 3 // 10
-    pipe = Pipeline(fm_chain(args.volume, args.method),
+    pipe = Pipeline(fm_chain(args.volume, args.method, front=args.front),
                     block_in=args.block, in_dtype=jnp.uint8)
     write, close = wav_sink(args.out, audio_rate)
     if args.native:
@@ -47,13 +56,37 @@ def main(argv=None):
         source = native_file_source(args.inp, args.block)
     else:
         source = iq_file_source(args.inp, args.block)
-    blocks = pipe.run(source)
+    if args.batched:
+        def batched_blocks():
+            import numpy as _np
+            from sdr_tpu.parallel.sharded import run_time_batched
+            import jax.numpy as _jnp
+            cs = pipe.init()
+            buf = []
+            for blk in source:
+                buf.append(_np.asarray(blk))
+                if len(buf) == args.batched:
+                    cs, y = run_time_batched(
+                        pipe.ops, _jnp.asarray(_np.concatenate(buf)),
+                        len(buf), carries=cs, return_carries=True)
+                    buf.clear()
+                    yield _np.asarray(y)
+            if buf:
+                cs, y = run_time_batched(
+                    pipe.ops, _jnp.asarray(_np.concatenate(buf)),
+                    len(buf), carries=cs, return_carries=True)
+                yield _np.asarray(y)
+        blocks = batched_blocks()
+    else:
+        blocks = pipe.run(source)
     if args.meter:
-        blocks = rate_meter(blocks, pipe.block_out)
+        blocks = rate_meter(blocks,
+                            pipe.block_out * max(1, args.batched))
     n = 0
     for y in blocks:
-        write(np.asarray(y))
-        n += pipe.block_out
+        y = np.asarray(y)
+        write(y)
+        n += y.shape[-1]
     close()
     print(f"wrote {n} audio samples at {audio_rate} Hz to {args.out}")
     return 0

@@ -17,7 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["left_halo", "right_shift_scalar", "exclusive_affine_prefix"]
+__all__ = ["left_halo", "right_shift_scalar", "substitute_first",
+           "exclusive_affine_prefix"]
 
 
 def _rotate_right(v, axis_name: str, fill=0):
@@ -53,6 +54,18 @@ def left_halo(x, h: int, axis_name: str, fill=0):
 def right_shift_scalar(v, axis_name: str):
     """Send a per-shard value to the right neighbor (shard 0 gets zeros)."""
     return _rotate_right(v, axis_name)
+
+
+def substitute_first(value, initial, axis_name: str):
+    """Replace shard 0's leaves of ``value`` with ``initial`` (a pytree of
+    the same structure, unsharded) — injects the stream state entering a
+    segmented run so consecutive segments continue exactly."""
+    if initial is None:
+        return value
+    first = jax.lax.axis_index(axis_name) == 0
+    return jax.tree.map(
+        lambda i, v: jnp.where(first, jnp.asarray(i, v.dtype), v),
+        initial, value)
 
 
 def exclusive_affine_prefix(a, b, axis_name: str):

@@ -33,20 +33,31 @@ __all__ = ["time_sharded_fn", "run_time_sharded", "run_time_batched",
            "run_grid_sharded"]
 
 
-def time_sharded_fn(ops: Sequence[StreamOp], axis_name: str = "t"):
+def time_sharded_fn(ops: Sequence[StreamOp], axis_name: str = "t",
+                    initials=None, return_carries: bool = False):
     """Build the per-shard function for a chain of ops.
 
     Returns ``fn(local_block) -> local_out`` to be wrapped in ``shard_map``
     over ``axis_name``: each op fetches its left-boundary state collectively
     (``shard_carry``) then applies its pure block transform.
+
+    ``initials``: per-op streaming carries entering shard 0 (a previous
+    segment's final state) — consecutive segmented runs then continue the
+    stream exactly.  ``return_carries``: ``fn`` returns
+    ``(new_carries, local_out)`` so the caller can extract the last
+    shard's state as the next segment's ``initials``.
     """
     ops = list(ops)
 
     def fn(x):
-        for op in ops:
-            carry = op.shard_carry(x, axis_name)
-            _, x = op.apply(carry, x)
-        return x
+        new = []
+        for i, op in enumerate(ops):
+            carry = op.shard_carry(
+                x, axis_name,
+                None if initials is None else initials[i])
+            c2, x = op.apply(carry, x)
+            new.append(c2)
+        return (new, x) if return_carries else x
 
     return fn
 
@@ -86,7 +97,8 @@ def run_time_sharded(ops: Sequence[StreamOp], mesh: Mesh, x,
 
 
 def run_time_batched(ops: Sequence[StreamOp], x, nblocks: int,
-                     axis_name: str = "b"):
+                     axis_name: str = "b", carries=None,
+                     return_carries: bool = False):
     """Single-device block-PARALLEL processing of a recorded signal.
 
     The same seam algebra as :func:`run_time_sharded` — FIR halos, demod
@@ -98,6 +110,11 @@ def run_time_batched(ops: Sequence[StreamOp], x, nblocks: int,
     between dependent dispatches, whereas here every block's convs batch
     into single large MXU ops.  Output equals the sequential streamed run
     exactly (same warmup zeros; tested in test_parallel.py).
+
+    ``carries`` (per-op streaming state from a previous segment) +
+    ``return_carries=True`` support SEGMENTED streaming: process a live
+    stream in nblocks-sized groups at batch throughput while continuing
+    state exactly across group seams (tested in test_quantized.py).
     """
     n = x.shape[-1]
     if n % nblocks:
@@ -107,10 +124,16 @@ def run_time_batched(ops: Sequence[StreamOp], x, nblocks: int,
     lead = x.shape[:-1]
     xb = jnp.moveaxis(x.reshape(lead + (nblocks, n // nblocks)),
                       -2, 0)
-    fn = time_sharded_fn(ops, axis_name)
-    yb = jax.vmap(fn, axis_name=axis_name)(xb)
+    fn = time_sharded_fn(ops, axis_name, initials=carries,
+                         return_carries=return_carries)
+    if not return_carries:
+        yb = jax.vmap(fn, axis_name=axis_name)(xb)
+        return Pipeline._restack(yb, lead)
+    cb, yb = jax.vmap(fn, axis_name=axis_name)(xb)
+    # the LAST block's new carries are the stream state after the segment
+    final = jax.tree.map(lambda l: l[-1], cb)
     # restack: [nblocks, *lead, ...per-block] -> [*lead, stream, ...]
-    return Pipeline._restack(yb, lead)
+    return final, Pipeline._restack(yb, lead)
 
 
 def run_channel_sharded(ops: Sequence[StreamOp], mesh: Mesh, x, carries=None,

@@ -71,15 +71,19 @@ class StreamOp:
     def apply(self, carry, x):
         raise NotImplementedError
 
-    def shard_carry(self, x, axis_name: str):
-        """Carry for *time-sharded* execution (inside shard_map).
+    def shard_carry(self, x, axis_name: str, initial=None):
+        """Carry for *time-sharded* execution (inside shard_map or vmap).
 
         Given this shard's local input block ``x``, return the stream state
         at the shard's left boundary — for most ops a halo fetched from the
-        left neighbor via ppermute (zeros on shard 0, matching the
-        zero-padded warmup).  Stateless ops (default) need nothing.
-        Ops whose state is not a function of bounded left context must
-        override and either compute it collectively or raise.
+        left neighbor via ppermute (warmup fill on shard 0).  Stateless ops
+        (default) need nothing.  Ops whose state is not a function of
+        bounded left context must override and either compute it
+        collectively or raise.
+
+        ``initial``: stream state entering shard 0 (this op's streaming
+        carry from a previous segment) — substitutes for the warmup fill,
+        making segmented block-parallel runs exactly continue a stream.
         """
         if type(self).init_carry is StreamOp.init_carry:
             return ()  # stateless op

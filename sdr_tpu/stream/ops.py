@@ -149,10 +149,11 @@ class U8FrontEnd(StreamOp):
         new = xext[..., xext.shape[-1] - H:] if H else carry
         return new, y
 
-    def shard_carry(self, x, axis_name):
-        from sdr_tpu.parallel.halo import left_halo
-        return left_halo(x, self._hist_bytes(x.shape[-1]), axis_name,
-                         fill=0x80)
+    def shard_carry(self, x, axis_name, initial=None):
+        from sdr_tpu.parallel.halo import left_halo, substitute_first
+        h = left_halo(x, self._hist_bytes(x.shape[-1]), axis_name,
+                      fill=0x80)
+        return substitute_first(h, initial, axis_name)
 
 
 class Fir(StreamOp):
@@ -246,9 +247,10 @@ class Fir(StreamOp):
         new_hist = xext[..., xext.shape[-1] - H:] if H else carry
         return new_hist, y
 
-    def shard_carry(self, x, axis_name):
-        from sdr_tpu.parallel.halo import left_halo
-        return left_halo(x, self.hist_len(x.shape[-1]), axis_name)
+    def shard_carry(self, x, axis_name, initial=None):
+        from sdr_tpu.parallel.halo import left_halo, substitute_first
+        h = left_halo(x, self.hist_len(x.shape[-1]), axis_name)
+        return substitute_first(h, initial, axis_name)
 
 
 class FmDemod(StreamOp):
@@ -278,9 +280,10 @@ class FmDemod(StreamOp):
         y, last = fn(x, carry)
         return last, y
 
-    def shard_carry(self, x, axis_name):
-        from sdr_tpu.parallel.halo import left_halo
-        return left_halo(x, 1, axis_name)[..., 0]
+    def shard_carry(self, x, axis_name, initial=None):
+        from sdr_tpu.parallel.halo import left_halo, substitute_first
+        h = left_halo(x, 1, axis_name)[..., 0]
+        return substitute_first(h, initial, axis_name)
 
 
 class FmMod(StreamOp):
@@ -366,7 +369,7 @@ class Agc(StreamOp):
         y, g = scans.agc(x, self.mu, self.reference, carry)
         return g, y
 
-    def shard_carry(self, x, axis_name):
+    def shard_carry(self, x, axis_name, initial=None):
         raise NotImplementedError(
             "AGC's gain recurrence is nonlinear (|x|*g inside the update, "
             "Util.hs:335-341) and cannot be time-sharded exactly; shard "
@@ -388,7 +391,7 @@ class DcBlocker(StreamOp):
         y, new = scans.dc_blocker(x, carry[0], carry[1], self.alpha)
         return new, y
 
-    def shard_carry(self, x, axis_name):
+    def shard_carry(self, x, axis_name, initial=None):
         """Exact time-sharding of the linear recurrence.
 
         The block reduces to one affine map y -> alpha^n * y + B (B = local
@@ -396,17 +399,25 @@ class DcBlocker(StreamOp):
         composition across shards (tiny all_gather) yields the exact
         recurrence state entering this shard.  See
         parallel/halo.py:exclusive_affine_prefix.
+
+        With ``initial = (last_sample0, last_output0)`` the entering state
+        is ``A_prefix * last_output0 + B_prefix`` (segment continuation).
         """
-        from sdr_tpu.parallel.halo import (left_halo,
+        from sdr_tpu.parallel.halo import (left_halo, substitute_first,
                                            exclusive_affine_prefix)
         last_sample = left_halo(x, 1, axis_name)[..., 0]
+        if initial is not None:
+            last_sample = substitute_first(last_sample, initial[0],
+                                           axis_name)
         n = x.shape[-1]
         # local affine reduction with zero entering state
         y_local, _ = scans.dc_blocker(x, last_sample, 0.0, self.alpha)
         a_blk = jnp.asarray(self.alpha, jnp.float32) ** n
         b_blk = y_local[..., -1]
-        _, y_enter = exclusive_affine_prefix(
+        A, y_enter = exclusive_affine_prefix(
             jnp.broadcast_to(a_blk, b_blk.shape), b_blk, axis_name)
+        if initial is not None:
+            y_enter = A * jnp.asarray(initial[1], y_enter.dtype) + y_enter
         return (last_sample, y_enter)
 
 
@@ -449,16 +460,20 @@ class Mix(StreamOp):
         new = new / jnp.abs(new)
         return new, y
 
-    def shard_carry(self, x, axis_name):
+    def shard_carry(self, x, axis_name, initial=None):
         """LO phase at shard start is closed-form (no communication):
-        exp(2*pi*j*freq*(shard_index * n))."""
+        exp(2*pi*j*freq*(shard_index * n)); times the entering phasor for
+        segment continuation."""
         idx = jax.lax.axis_index(axis_name)
         n = x.shape[-1]
         frac_per_shard = (self.freq * n) % 1.0  # python float, exact host math
         frac = jnp.mod(jnp.asarray(frac_per_shard, jnp.float32)
                        * idx.astype(jnp.float32), 1.0)
         phasor = jnp.exp(2j * jnp.pi * frac).astype(jnp.complex64)
-        return jnp.broadcast_to(phasor, x.shape[:-1])
+        phasor = jnp.broadcast_to(phasor, x.shape[:-1])
+        if initial is not None:
+            phasor = phasor * jnp.asarray(initial, phasor.dtype)
+        return phasor
 
 
 class Map(StreamOp):
@@ -522,9 +537,10 @@ class FftStream(StreamOp):
         new = xext[..., xext.shape[-1] - H:] if H else carry
         return new, y
 
-    def shard_carry(self, x, axis_name):
-        from sdr_tpu.parallel.halo import left_halo
-        return left_halo(x, self.size - self.hop, axis_name)
+    def shard_carry(self, x, axis_name, initial=None):
+        from sdr_tpu.parallel.halo import left_halo, substitute_first
+        h = left_halo(x, self.size - self.hop, axis_name)
+        return substitute_first(h, initial, axis_name)
 
 
 class Channelize(StreamOp):
@@ -571,7 +587,8 @@ class Channelize(StreamOp):
         new = xext[..., xext.shape[-1] - H:] if H else carry
         return new, y
 
-    def shard_carry(self, x, axis_name):
-        from sdr_tpu.parallel.halo import left_halo
-        return left_halo(x, (self.taps_per_branch - 1) * self.n_channels,
-                         axis_name)
+    def shard_carry(self, x, axis_name, initial=None):
+        from sdr_tpu.parallel.halo import left_halo, substitute_first
+        h = left_halo(x, (self.taps_per_branch - 1) * self.n_channels,
+                      axis_name)
+        return substitute_first(h, initial, axis_name)

@@ -212,13 +212,42 @@ class Pipeline:
             else:
                 yield y
 
-    def process(self, signal, carries=None):
+    def process(self, signal, carries=None, parallel_blocks: int = None):
         """Convenience: chop a recorded signal [..., N] into blocks, scan,
         and concatenate the per-block outputs back along the stream axis.
 
         Works for 1-D-per-block ops (output [..., M]) and frame-producing
         ops like :class:`FftStream` (output [..., frames, size], frames
-        concatenated)."""
+        concatenated).
+
+        ``parallel_blocks=B``: process the signal in segments of B blocks,
+        each segment block-PARALLEL
+        (:func:`sdr_tpu.parallel.run_time_batched`) with streaming state
+        threaded exactly across segment seams — the offline-throughput
+        path, bounded to B blocks of device memory per dispatch.  Requires
+        every op to support time sharding; output equals the sequential
+        run exactly (tests/test_quantized.py)."""
+        if parallel_blocks is not None:
+            from sdr_tpu.parallel.sharded import run_time_batched
+            signal = jnp.asarray(signal)
+            n = signal.shape[-1]
+            nblocks = n // self.block_in
+            if nblocks == 0:
+                raise ValueError(f"signal shorter than one block "
+                                 f"({self.block_in})")
+            x = signal[..., : nblocks * self.block_in]
+            cs = carries if carries is not None else self.init()
+            outs = []
+            pos = 0
+            while pos < nblocks:
+                g = min(parallel_blocks, nblocks - pos)
+                seg = x[..., pos * self.block_in:(pos + g) * self.block_in]
+                cs, y = run_time_batched(self.ops, seg, g, carries=cs,
+                                         return_carries=True)
+                outs.append(y)
+                pos += g
+            t_axis = (self.ops[-1].time_axis_out if self.ops else -1)
+            return cs, jnp.concatenate(outs, axis=t_axis)
         signal = jnp.asarray(signal)
         n = signal.shape[-1]
         nblocks = n // self.block_in

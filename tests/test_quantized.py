@@ -94,3 +94,31 @@ def test_quantized_chain_time_batched(rng):
     _, seq = p.process(raw)
     par = np.asarray(parallel.run_time_batched(ops, jnp.asarray(raw), B))
     np.testing.assert_allclose(par, np.asarray(seq), atol=1e-5)
+
+
+def test_segmented_batched_continuation(rng):
+    """run_time_batched with carries in/out continues a stream exactly
+    across segment seams (the bounded-memory offline/live-group path,
+    Pipeline.process(parallel_blocks=...))."""
+    from sdr_tpu.apps.chains import fm_chain
+    from sdr_tpu.parallel.sharded import run_time_batched
+
+    block, B, G = 163840, 4, 3
+    raw = rng.integers(0, 256, G * B * block).astype(np.uint8)
+    for front in ("exact", "quantized"):
+        ops = fm_chain(method="conv", front=front)
+        p = Pipeline(ops, block_in=block, in_dtype=jnp.uint8)
+        _, seq = p.process(raw)
+        cs = p.init()
+        outs = []
+        for g in range(G):
+            seg = jnp.asarray(raw[g * B * block:(g + 1) * B * block])
+            cs, y = run_time_batched(ops, seg, B, carries=cs,
+                                     return_carries=True)
+            outs.append(np.asarray(y))
+        np.testing.assert_allclose(np.concatenate(outs), np.asarray(seq),
+                                   atol=1e-5)
+        # the high-level wrapper does the same loop
+        cs2, y2 = p.process(raw, parallel_blocks=B)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(seq),
+                                   atol=1e-5)
