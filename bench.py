@@ -316,7 +316,7 @@ def main():
             [sys.executable, "-c",
              "import bench; "
              "bench.bench_kernels(iters=10, dump='bench_kernels.json')"],
-            capture_output=True, text=True, timeout=1800)
+            capture_output=True, text=True, timeout=3600)
         if r.returncode != 0:
             print(f"kernel bench failed: {r.stderr[-500:]}", file=sys.stderr)
         with open("bench_kernels.json") as fh:
