@@ -2,6 +2,8 @@
 
 from sdr_tpu.ops.convert import (  # noqa: F401
     iq_u8_to_cfloat,
+    iq_u8_to_planar,
+    iq_i16_to_planar,
     iq_i16_to_cfloat,
     cfloat_to_iq_i16,
     scale,

@@ -30,6 +30,27 @@ def test_iq_i16(rng):
     np.testing.assert_allclose(got.imag, raw[1::2] / 2048, atol=1e-6)
 
 
+def test_iq_planar_variants(rng):
+    """Planar converters == complex converters, componentwise (the planar
+    [2, n] layout is the TPU-native stream representation)."""
+    raw8 = rng.integers(0, 256, 4096).astype(np.uint8)
+    c = np.asarray(ops.iq_u8_to_cfloat(raw8))
+    p = np.asarray(ops.iq_u8_to_planar(raw8))
+    assert p.shape == (2, 2048)
+    np.testing.assert_array_equal(p[0], c.real)
+    np.testing.assert_array_equal(p[1], c.imag)
+    # full-range i16 (sign extension through the bitcast split)
+    raw16 = rng.integers(-32768, 32768, 4096).astype(np.int16)
+    c16 = np.asarray(ops.iq_i16_to_cfloat(raw16))
+    p16 = np.asarray(ops.iq_i16_to_planar(raw16))
+    np.testing.assert_array_equal(p16[0], c16.real)
+    np.testing.assert_array_equal(p16[1], c16.imag)
+    np.testing.assert_allclose(c16.real, raw16[0::2] / 2048, atol=1e-6)
+    # batched leading dims
+    pb = np.asarray(ops.iq_u8_to_planar(raw8.reshape(4, 1024)))
+    assert pb.shape == (4, 2, 512)
+
+
 def test_iq_transmit_roundtrip(rng):
     x = (rng.uniform(-1, 1, 512) + 1j * rng.uniform(-1, 1, 512)).astype(
         np.complex64)
