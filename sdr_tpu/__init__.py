@@ -6,8 +6,8 @@ adamwalker/sdr (a Haskell + SIMD-C streaming DSP library; see
 sample-block buffers with hand written SSE/AVX inner loops; sdr_tpu instead
 expresses every operator as a pure block transform ``(carry, block) ->
 (carry', out)`` over statically-shaped arrays, jitted and fused by XLA, with
-the hot FIR/polyphase inner loops implemented both as MXU-friendly banded
-matmuls and as Pallas TPU kernels, and with streams scaled across device
+the hot FIR/polyphase inner loops implemented as XLA convs and as Pallas
+TPU kernels, and with streams scaled across device
 meshes via shard_map + halo exchange instead of cross-buffer functions.
 
 Public API surface (mirrors the reference's module layout — reference

@@ -68,15 +68,21 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
 
 
 def am_chain(if_freq: float = 0.25, decim: int = 16, agc_mu: float = 0.005,
-             volume: float = 0.5, method: str = "auto"):
+             volume: float = 0.5, method: str = "auto",
+             agc_approx: int | None = None):
     """AM/airband receiver ops (config #4): u8 IQ -> mix the carrier at
     ``if_freq`` (cycles/sample) to DC -> decimating channel filter ->
-    AGC -> envelope -> DC block -> volume."""
+    AGC -> envelope -> DC block -> volume.
+
+    ``agc_approx=R`` enables the approximate time-sharded AGC (R
+    refinement sweeps, see :class:`~sdr_tpu.stream.Agc`) so the chain can
+    run block-parallel (``run_time_batched`` / ``Pipeline.run_batched``);
+    by default time-sharding this chain fails fast at construction."""
     chan = design.windowed_sinc(64, 1.0 / decim, design.hamming)
     return [IqConvertU8(),
             Mix(-if_freq),
             Fir.decimator(chan, decim, method=method),
-            Agc(agc_mu, 1.0),
+            Agc(agc_mu, 1.0, approx_time_sharding=agc_approx),
             AmDemod(),
             Map(lambda x: x - jnp.mean(x, axis=-1, keepdims=True)),
             Scale(volume)]

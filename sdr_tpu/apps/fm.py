@@ -1,9 +1,18 @@
-"""Broadcast FM receiver CLI (the examples/fm/fm.hs app, recorded-file I/O).
+"""Broadcast FM receiver CLI (the examples/fm/fm.hs app).
+
+Recorded capture:
 
     python -m sdr_tpu.apps.fm --in capture.iq --out audio.wav \
         --rate 1280K --block 1310720
 
-Reads RTL-SDR-format u8 interleaved IQ, writes 48 kHz mono WAV.
+Live radio via an rtl_tcp server (the sdrStream analog,
+RTLSDRStream.hs:54-68):
+
+    python -m sdr_tpu.apps.fm --in rtl_tcp://radiohost:1234 \
+        --freq 90.2M --rate 1280K --block 1310720
+
+Reads RTL-SDR-format u8 interleaved IQ, writes 48 kHz mono WAV (or plays
+live with --audio when the optional sounddevice backend is present).
 """
 
 from __future__ import annotations
@@ -23,15 +32,27 @@ from sdr_tpu.utils import parse_size
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--in", dest="inp", required=True,
-                    help="input raw u8 interleaved IQ file")
+                    help="input raw u8 interleaved IQ file, or "
+                         "rtl_tcp://host:port for a live radio")
     ap.add_argument("--out", default="audio.wav", help="output WAV file")
     ap.add_argument("--rate", default="1280K", type=parse_size,
                     help="input sample rate (complex S/s), e.g. 1280K")
+    ap.add_argument("--freq", type=parse_size, default="90200K",
+                    help="center frequency for rtl_tcp sources, e.g. 90.2M")
+    ap.add_argument("--gain", type=int, default=None,
+                    help="tuner gain in tenths of dB (rtl_tcp; default "
+                         "hardware AGC)")
+    ap.add_argument("--ppm", type=int, default=0,
+                    help="frequency correction in ppm (rtl_tcp)")
+    ap.add_argument("--max-blocks", type=int, default=0,
+                    help="stop after N input blocks (0 = until EOF)")
+    ap.add_argument("--audio", action="store_true",
+                    help="play live via sounddevice instead of WAV")
     ap.add_argument("--block", default="1310720", type=parse_size,
                     help="u8 items per block (must keep chain rates integral)")
     ap.add_argument("--volume", type=float, default=0.2)
     ap.add_argument("--method", default="auto",
-                    choices=["auto", "direct", "banded", "conv", "pallas"])
+                    choices=["auto", "direct", "conv", "pallas"])
     ap.add_argument("--front", default="auto",
                     choices=["auto", "exact", "quantized"],
                     help="front end: exact f32 stages or the fused "
@@ -50,33 +71,29 @@ def main(argv=None):
     audio_rate = args.rate // 8 * 3 // 10
     pipe = Pipeline(fm_chain(args.volume, args.method, front=args.front),
                     block_in=args.block, in_dtype=jnp.uint8)
-    write, close = wav_sink(args.out, audio_rate)
-    if args.native:
+    if args.audio:
+        from sdr_tpu.io import audio_sink
+        write, close = audio_sink(audio_rate)
+    else:
+        write, close = wav_sink(args.out, audio_rate)
+    radio = None
+    if args.inp.startswith("rtl_tcp://"):
+        from sdr_tpu.io import RtlTcpParams, rtl_tcp_source
+        radio = rtl_tcp_source(
+            args.inp, RtlTcpParams(args.freq, args.rate,
+                                   freq_correction=args.ppm,
+                                   tuner_gain=args.gain), args.block)
+        source = iter(radio)
+    elif args.native:
         from sdr_tpu.io import native_file_source
         source = native_file_source(args.inp, args.block)
     else:
         source = iq_file_source(args.inp, args.block)
+    if args.max_blocks:
+        import itertools
+        source = itertools.islice(source, args.max_blocks)
     if args.batched:
-        def batched_blocks():
-            import numpy as _np
-            from sdr_tpu.parallel.sharded import run_time_batched
-            import jax.numpy as _jnp
-            cs = pipe.init()
-            buf = []
-            for blk in source:
-                buf.append(_np.asarray(blk))
-                if len(buf) == args.batched:
-                    cs, y = run_time_batched(
-                        pipe.ops, _jnp.asarray(_np.concatenate(buf)),
-                        len(buf), carries=cs, return_carries=True)
-                    buf.clear()
-                    yield _np.asarray(y)
-            if buf:
-                cs, y = run_time_batched(
-                    pipe.ops, _jnp.asarray(_np.concatenate(buf)),
-                    len(buf), carries=cs, return_carries=True)
-                yield _np.asarray(y)
-        blocks = batched_blocks()
+        blocks = pipe.run_batched(source, args.batched)
     else:
         blocks = pipe.run(source)
     if args.meter:
@@ -88,7 +105,12 @@ def main(argv=None):
         write(y)
         n += y.shape[-1]
     close()
-    print(f"wrote {n} audio samples at {audio_rate} Hz to {args.out}")
+    if radio is not None:
+        radio.close()
+        if radio.dropped:
+            print(f"radio dropped {radio.dropped} blocks", file=sys.stderr)
+    dest = "audio device" if args.audio else args.out
+    print(f"wrote {n} audio samples at {audio_rate} Hz to {dest}")
     return 0
 
 

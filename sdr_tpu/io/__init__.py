@@ -9,6 +9,13 @@ from sdr_tpu.io.files import (  # noqa: F401
     IQ_DTYPES,
 )
 from sdr_tpu.io.net import udp_source, udp_sink  # noqa: F401
+from sdr_tpu.io.rtl_tcp import (  # noqa: F401
+    RtlTcpParams,
+    RtlTcpSource,
+    rtl_tcp_source,
+    parse_rtl_tcp_url,
+)
+from sdr_tpu.io.audio import audio_available, audio_sink  # noqa: F401
 from sdr_tpu.io.native import (  # noqa: F401
     native_file_source,
     native_udp_source,

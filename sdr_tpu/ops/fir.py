@@ -31,12 +31,18 @@ phase is a static function of m, so blocks compile to static gathers +
 matmuls (no sequential scan), and shard-start phases on a device mesh are
 computable without serialization.
 
-MXU mapping: outputs are tiled [P, LANE]; the sliding window becomes a
-banded-matrix matmul  X[P, M] @ B[M, LANE]  with  B[m, q] = taps[m - q*f]
-(zero outside the band), which XLA tiles onto the systolic array.  Strided
-(decimating) reads use a polyphase input split first so the band stays
-dense.  Complex samples with real taps (the RC kernel variants,
-filter.c:74) are handled by viewing complex as a [2, N] real batch.
+MXU mapping: the hot paths are ``conv`` (XLA's conv_general_dilated — its
+native TPU lowering, which also fuses with neighboring elementwise ops)
+and ``pallas`` (kernels/fir_pallas.py — lane-aligned banded matmuls in
+VMEM, which wins for large unit-stride tap counts).  A third ``direct``
+gather-einsum path covers tiny blocks and CPU.  An explicit banded-matmul
+XLA path existed through round 1 and was DELETED: measured 3-40x slower
+than conv at every shape in bench_kernels.json (XLA materializes the
+[P, M] window gather through HBM; the Pallas kernel is the same algebra
+done right, with windows staying in VMEM).  Strided (decimating) reads
+use a polyphase input split so bands stay dense.  Complex samples with
+real taps (the RC kernel variants, filter.c:74) are handled by viewing
+complex as a [2, N] real batch.
 
 Numerical contract: float32 in, float32 accumulate, identical summation
 *results* to the reference within its own cross-implementation test bound of
@@ -61,7 +67,7 @@ __all__ = [
     "prepare_phase_table",
 ]
 
-LANE = 128  # TPU lane width: output tile size for the banded-matmul path.
+LANE = 128  # TPU lane width (also the "small block" dispatch threshold).
 
 
 # ---------------------------------------------------------------------------
@@ -201,64 +207,6 @@ def _fir_direct(taps_dev, x, num: int, factor: int):
                       preferred_element_type=jnp.float32)
 
 
-def _banded_matrix(taps: np.ndarray, factor: int, lane: int) -> np.ndarray:
-    """B[m, q] = taps[m - q*factor] (zero outside band).
-
-    X[p, m] = x[p*lane*factor + m]  =>  (X @ B)[p, q] = y[p*lane + q].
-    """
-    K = taps.shape[0]
-    M = (lane - 1) * factor + K
-    B = np.zeros((M, lane), dtype=np.float32)
-    for q in range(lane):
-        B[q * factor: q * factor + K, q] = taps
-    return B
-
-
-def _fir_banded(taps_np: np.ndarray, x, num: int, factor: int):
-    """MXU path: banded matmul. For factor > 1 the input is first split into
-    ``factor`` polyphase components so every sub-band stays dense (the MXU
-    analog of decimate.c's strided dot products)."""
-    lane = LANE
-    P = -(-num // lane)
-    if factor == 1:
-        B = _banded_matrix(taps_np, 1, lane)            # [M, lane]
-        M = B.shape[0]
-        starts = np.arange(P, dtype=np.int64) * lane
-        X = _gather_windows(x, starts, M,
-                            jnp.arange(P, dtype=jnp.int32) * lane)
-        Y = jnp.einsum("...pm,ml->...pl", X, jnp.asarray(B),
-                       preferred_element_type=jnp.float32)
-    else:
-        # Polyphase split: y[m] = sum_r sum_k taps[r + k*f] * xr[m + k_r]
-        # where xr[n] = x[n*f + r].  Each r-term is a dense FIR; batch the
-        # f banded matmuls as one wide matmul.
-        f = factor
-        K = taps_np.shape[0]
-        Kr = -(-K // f)
-        n_in_r = P * lane + Kr  # samples needed per polyphase component
-        Bs, Xs = [], []
-        need = (n_in_r - 1) * f + f
-        n = x.shape[-1]
-        if need > n:
-            pad = [(0, 0)] * (x.ndim - 1) + [(0, need - n)]
-            x = jnp.pad(x, pad)
-        for r in range(f):
-            tr = np.zeros(Kr, dtype=np.float32)
-            sub = taps_np[r::f]
-            tr[: sub.shape[0]] = sub
-            Bs.append(_banded_matrix(tr, 1, lane))       # [lane-1+Kr, lane]
-            xr = x[..., r::f][..., :n_in_r]
-            starts = np.arange(P, dtype=np.int64) * lane
-            Xs.append(_gather_windows(xr, starts, lane - 1 + Kr,
-                                      jnp.arange(P, dtype=jnp.int32) * lane))
-        B = jnp.asarray(np.concatenate(Bs, axis=0))      # [f*(lane-1+Kr), lane]
-        X = jnp.concatenate(Xs, axis=-1)                 # [..., P, f*(lane-1+Kr)]
-        Y = jnp.einsum("...pm,ml->...pl", X, B,
-                       preferred_element_type=jnp.float32)
-    Y = Y.reshape(Y.shape[:-2] + (P * lane,))
-    return Y[..., :num]
-
-
 def _fir_conv(taps_dev, x, num: int, factor: int):
     """lax.conv_general_dilated path (XLA's native TPU conv -> MXU).
 
@@ -297,8 +245,6 @@ def _dispatch(taps_np: np.ndarray, x, num: int, factor: int, method: str):
     xr, rebuild = _as_real_batch(x)
     if method == "direct":
         y = _fir_direct(jnp.asarray(taps_np), xr, num, factor)
-    elif method == "banded":
-        y = _fir_banded(taps_np, xr, num, factor)
     elif method == "conv":
         y = _fir_conv(jnp.asarray(taps_np), xr, num, factor)
     elif method == "pallas":

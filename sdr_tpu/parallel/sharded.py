@@ -48,6 +48,13 @@ def time_sharded_fn(ops: Sequence[StreamOp], axis_name: str = "t",
     shard's state as the next segment's ``initials``.
     """
     ops = list(ops)
+    for i, op in enumerate(ops):
+        if not getattr(op, "time_shardable", True):
+            raise ValueError(
+                f"stage {i} ({op!r}) does not support time sharding "
+                "(nonlinear carry). For Agc, construct it with "
+                "approx_time_sharding=R to enable the documented "
+                "approximate mode, or shard channels instead.")
 
     def fn(x):
         new = []
@@ -126,23 +133,27 @@ def run_time_batched(ops: Sequence[StreamOp], x, nblocks: int,
                       -2, 0)
     fn = time_sharded_fn(ops, axis_name, initials=carries,
                          return_carries=return_carries)
+    t_axis = ops[-1].time_axis_out if ops else -1
     if not return_carries:
         yb = jax.vmap(fn, axis_name=axis_name)(xb)
-        return Pipeline._restack(yb, lead)
+        return Pipeline._restack(yb, lead, t_axis)
     cb, yb = jax.vmap(fn, axis_name=axis_name)(xb)
     # the LAST block's new carries are the stream state after the segment
     final = jax.tree.map(lambda l: l[-1], cb)
     # restack: [nblocks, *lead, ...per-block] -> [*lead, stream, ...]
-    return final, Pipeline._restack(yb, lead)
+    return final, Pipeline._restack(yb, lead, t_axis)
 
 
-def run_channel_sharded(ops: Sequence[StreamOp], mesh: Mesh, x, carries=None,
+def run_channel_sharded(ops: Sequence[StreamOp], mesh: Mesh, x,
                         axis_name: str = "c"):
     """Process [..., C, N] with channels sharded over ``axis_name``.
 
     Pure data parallelism: the chain runs independently per channel chunk
     (the reference's 'multiple independent FM chains' channelizer mapped
-    over the mesh instead of over OS threads).
+    over the mesh instead of over OS threads).  Every channel starts from
+    warmup (zero) state; to continue a stream across segments, use
+    :func:`run_time_batched` per channel group or drive a
+    :class:`~sdr_tpu.stream.Pipeline` with a batched leading dim instead.
     """
     spec = P(*([None] * (x.ndim - 2) + [axis_name, None]))
 

@@ -47,6 +47,10 @@ class StreamOp:
     #: which output axis is the stream/time axis (-1 for sample streams;
     #: FftStream's frame axis is -2)
     time_axis_out: int = -1
+    #: False for ops whose carry cannot be computed collectively (checked
+    #: BEFORE tracing by the time-sharded runners, so unsupported chains
+    #: fail with one actionable error instead of deep inside shard_map)
+    time_shardable: bool = True
 
     def out_len(self, n_in: int) -> int:
         return n_in

@@ -168,7 +168,7 @@ class Fir(StreamOp):
     reduces to a compile-time constant here (see the t_m = m*D - o0 closed
     form in ops/fir.py).
 
-    ``method`` selects the execution path ('auto'/'direct'/'banded'/
+    ``method`` selects the execution path ('auto'/'direct'/
     'conv'/'pallas') — the analog of the reference's fastFilterC/SSE/AVX
     constructor families (Filter.hs:177-502), except selection is explicit
     rather than CPUID-driven.
@@ -357,10 +357,30 @@ class AmDemod(StreamOp):
 
 
 class Agc(StreamOp):
-    """Automatic gain control with gain carry (Util.hs:343-348)."""
+    """Automatic gain control with gain carry (Util.hs:343-348).
 
-    def __init__(self, mu: float, reference: float, initial: float = 1.0):
+    AGC's gain recurrence is nonlinear (|x|*g inside the update,
+    Util.hs:335-341), so unlike every other carry in this module it cannot
+    be time-sharded *exactly*.  By default time-sharding an AGC chain
+    fails fast at runner construction.  ``approx_time_sharding=R`` opts
+    into a documented approximation: R parallel refinement sweeps, each
+    running the local AGC scan per shard and handing every shard's final
+    gain to its right neighbor (one ppermute) as the next sweep's entering
+    gain.  Because the recurrence forgets its initial gain exponentially
+    (rate ~mu*reference per sample), the entering-gain error after one
+    sweep is O(decay^n_block); with millions of samples per shard it is
+    far below the 0.01 differential bound (tests/test_parallel.py).
+    """
+
+    time_shardable = False  # exact time sharding impossible (see docstring)
+
+    def __init__(self, mu: float, reference: float, initial: float = 1.0,
+                 approx_time_sharding: int | None = None):
         self.mu, self.reference, self.initial = mu, reference, initial
+        if approx_time_sharding is not None and approx_time_sharding < 1:
+            raise ValueError("approx_time_sharding must be >= 1")
+        self.approx_time_sharding = approx_time_sharding
+        self.time_shardable = approx_time_sharding is not None
 
     def init_carry(self, n_in, in_dtype, batch_shape=()):
         return jnp.full(batch_shape, self.initial, dtype=jnp.float32)
@@ -370,10 +390,22 @@ class Agc(StreamOp):
         return g, y
 
     def shard_carry(self, x, axis_name, initial=None):
-        raise NotImplementedError(
-            "AGC's gain recurrence is nonlinear (|x|*g inside the update, "
-            "Util.hs:335-341) and cannot be time-sharded exactly; shard "
-            "channels instead, or place AGC after the time-sharded gather.")
+        if self.approx_time_sharding is None:
+            raise NotImplementedError(
+                "AGC cannot be time-sharded exactly; construct it with "
+                "Agc(..., approx_time_sharding=1) for the documented "
+                "approximation, or shard channels instead.")
+        from sdr_tpu.parallel.halo import right_shift_scalar
+        g0 = jnp.asarray(self.initial if initial is None else initial,
+                         jnp.float32)
+        g0 = jnp.broadcast_to(g0, x.shape[:-1])
+        first = jax.lax.axis_index(axis_name) == 0
+        enter = g0
+        for _ in range(self.approx_time_sharding):
+            _, g_final = scans.agc(x, self.mu, self.reference, enter)
+            shifted = right_shift_scalar(g_final, axis_name)
+            enter = jnp.where(first, g0, shifted)
+        return enter
 
 
 class DcBlocker(StreamOp):
@@ -463,13 +495,23 @@ class Mix(StreamOp):
     def shard_carry(self, x, axis_name, initial=None):
         """LO phase at shard start is closed-form (no communication):
         exp(2*pi*j*freq*(shard_index * n)); times the entering phasor for
-        segment continuation."""
+        segment continuation.
+
+        The per-shard phase table is precomputed host-side in float64 and
+        reduced mod 1 *before* the f32 cast, so phase error stays at f32
+        rounding regardless of shard index (a traced f32
+        ``frac_per_shard * idx`` accumulates ~1e-7 cycles per shard).
+        The table is stored planar (cos, sin) — complex constants never
+        cross a program boundary."""
         idx = jax.lax.axis_index(axis_name)
+        n_shards = jax.lax.axis_size(axis_name)
         n = x.shape[-1]
-        frac_per_shard = (self.freq * n) % 1.0  # python float, exact host math
-        frac = jnp.mod(jnp.asarray(frac_per_shard, jnp.float32)
-                       * idx.astype(jnp.float32), 1.0)
-        phasor = jnp.exp(2j * jnp.pi * frac).astype(jnp.complex64)
+        ang = 2.0 * np.pi * np.mod(
+            np.float64(self.freq) * np.float64(n)
+            * np.arange(n_shards, dtype=np.float64), 1.0)
+        tab = jnp.asarray(
+            np.stack([np.cos(ang), np.sin(ang)], axis=-1).astype(np.float32))
+        phasor = jax.lax.complex(tab[idx, 0], tab[idx, 1])
         phasor = jnp.broadcast_to(phasor, x.shape[:-1])
         if initial is not None:
             phasor = phasor * jnp.asarray(initial, phasor.dtype)

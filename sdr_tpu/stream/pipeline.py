@@ -212,6 +212,45 @@ class Pipeline:
             else:
                 yield y
 
+    def run_batched(self, source: Iterable[np.ndarray],
+                    parallel_blocks: int, carries=None):
+        """Drive a live/iterator source in block-PARALLEL groups.
+
+        Accumulates ``parallel_blocks`` source blocks, processes the group
+        with :func:`sdr_tpu.parallel.run_time_batched` (every block's convs
+        batch into single large MXU ops), and threads the streaming state
+        exactly across group seams — output equals :meth:`run` sample for
+        sample.  A short final group is processed at its own size.  This is
+        the single implementation of the segmented-carry loop (apps use it
+        rather than re-rolling it).
+        """
+        from sdr_tpu.parallel.sharded import run_time_batched
+        cs = carries if carries is not None else self.init()
+        out_c = bool(jnp.issubdtype(jnp.dtype(self.out_dtype),
+                                    jnp.complexfloating))
+
+        def flush(buf):
+            x = jnp.asarray(np.concatenate(buf))
+            cs2, y = run_time_batched(self.ops, x, len(buf), carries=cs,
+                                      return_carries=True)
+            if out_c:
+                # planar host transfer: complex device->host transfers are
+                # rejected outright by some TPU runtimes (utils/host.py)
+                from sdr_tpu.utils import to_host
+                return cs2, to_host(y)
+            return cs2, np.asarray(y)
+
+        buf = []
+        for blk in source:
+            buf.append(np.asarray(blk))
+            if len(buf) == parallel_blocks:
+                cs, y = flush(buf)
+                buf = []
+                yield y
+        if buf:
+            _, y = flush(buf)
+            yield y
+
     def process(self, signal, carries=None, parallel_blocks: int = None):
         """Convenience: chop a recorded signal [..., N] into blocks, scan,
         and concatenate the per-block outputs back along the stream axis.
@@ -274,19 +313,29 @@ class Pipeline:
             if out_c:
                 ys = jax.jit(jax.lax.complex)(ys[:, 0], ys[:, 1])
             final = unpack_planar(carries_p, self._cflags)
-            return final, self._restack(ys, lead)
+            return final, self._restack(ys, lead, self._time_axis_out())
         carries, ys = self.scan(blocks, carries)
-        return carries, self._restack(ys, lead)
+        return carries, self._restack(ys, lead, self._time_axis_out())
+
+    def _time_axis_out(self) -> int:
+        return self.ops[-1].time_axis_out if self.ops else -1
 
     @staticmethod
-    def _restack(ys, lead):
-        """[nblocks, *lead, ...per-block] -> [*lead, stream, ...]"""
-        per_block = ys.ndim - 1 - len(lead)
-        stream_axis = ys.ndim - per_block  # first per-block axis
-        out = jnp.moveaxis(ys, 0, stream_axis - 1)
-        shape = (out.shape[: stream_axis - 1]
-                 + (out.shape[stream_axis - 1] * out.shape[stream_axis],)
-                 + out.shape[stream_axis + 1:])
+    def _restack(ys, lead, time_axis_out: int = -1):
+        """[nblocks, *lead, ...per-block] -> [*lead, ...] with the block
+        axis merged into the chain's stream/time axis.
+
+        ``time_axis_out`` is the last op's ``time_axis_out`` (negative,
+        relative to the per-block output): -1 for sample streams and
+        Channelize ([..., C, n/C] — time innermost), -2 for FftStream
+        ([..., frames, size] — the frame axis is the stream)."""
+        if time_axis_out >= 0:
+            raise ValueError("time_axis_out must be negative")
+        t = ys.ndim + time_axis_out  # stacked position of the time axis
+        out = jnp.moveaxis(ys, 0, t - 1)
+        shape = (out.shape[: t - 1]
+                 + (out.shape[t - 1] * out.shape[t],)
+                 + out.shape[t + 1:])
         return out.reshape(shape)
 
     # -- checkpoint / resume ----------------------------------------------
@@ -304,6 +353,12 @@ class Pipeline:
             loaded = [data[k] for k in data.files]
         if len(loaded) != len(leaves):
             raise ValueError("checkpoint does not match pipeline structure")
+        for i, (l, r) in enumerate(zip(loaded, leaves)):
+            if tuple(l.shape) != tuple(r.shape):
+                raise ValueError(
+                    f"checkpoint leaf {i} has shape {tuple(l.shape)}, "
+                    f"pipeline expects {tuple(r.shape)} — saved at a "
+                    "different block size or from a different pipeline")
         loaded = [jnp.asarray(l, dtype=r.dtype) for l, r in
                   zip(loaded, leaves)]
         return jax.tree.unflatten(treedef, loaded)

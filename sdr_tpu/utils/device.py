@@ -3,7 +3,7 @@
 The analog of the reference's CPUID layer (hs_sources/SDR/CPUID.hs):
 there, ``featureSelect`` picks the fastest SIMD implementation the host
 supports (CPUID.hs:100-104); here there is one ISA (the TPU), but multiple
-execution strategies (XLA conv / banded matmul / Pallas kernel / gather)
+execution strategies (XLA conv / Pallas kernel / gather)
 whose relative speed depends on device generation and problem shape.
 ``best_method`` is the dispatch point; measured defaults favor XLA's conv
 lowering on TPU and the direct path on CPU.

@@ -67,7 +67,7 @@ def test_plots(tmp_path, rng):
 
 
 def test_best_method_cpu():
-    assert best_method(64, 8) in {"conv", "direct", "banded", "pallas"}
+    assert best_method(64, 8) in {"conv", "direct", "pallas"}
     assert isinstance(device_kind(), str)
 
 

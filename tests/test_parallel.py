@@ -124,11 +124,44 @@ def test_grid_sharded_channel_time(rng):
         np.testing.assert_allclose(got[c], want, rtol=1e-4, atol=1e-4)
 
 
-def test_agc_time_sharding_raises(rng, mesh8):
+def test_agc_time_sharding_fails_fast(rng, mesh8):
+    """Unshardable ops are rejected at runner CONSTRUCTION with guidance,
+    not from deep inside shard_map tracing."""
     from sdr_tpu.stream import Agc
     x = (np.ones(8192) + 0j).astype(np.complex64)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="approx_time_sharding"):
         parallel.run_time_sharded([Agc(0.01, 1.0)], mesh8, jnp.asarray(x))
+    with pytest.raises(ValueError, match="approx_time_sharding"):
+        parallel.run_time_batched([Agc(0.01, 1.0)], jnp.asarray(x), 8)
+
+
+def test_agc_approx_time_sharding(rng):
+    """Documented approximate segmented AGC: R refinement sweeps with gain
+    handoff.  The recurrence forgets its initial gain exponentially, so
+    with blocks much longer than the AGC time constant the block-parallel
+    output matches the sequential stream well inside the 0.01 differential
+    bound."""
+    from sdr_tpu.stream import Agc
+    n, B = 65536, 8
+    x = ((2.0 + 0.2 * rng.normal(size=n))
+         * np.exp(2j * np.pi * rng.uniform(size=n))).astype(np.complex64)
+    want = single_device_reference([Agc(0.005, 1.0)], x, n // B)
+    got = np.asarray(parallel.run_time_batched(
+        [Agc(0.005, 1.0, approx_time_sharding=2)], jnp.asarray(x), B))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_am_chain_batched_path(rng):
+    """BASELINE config #4 has a block-parallel path when the AGC opts into
+    approximate sharding — and fails fast when it does not."""
+    from sdr_tpu.apps.chains import am_chain
+    raw = rng.integers(0, 256, 8 * 16384, dtype=np.uint8)
+    with pytest.raises(ValueError, match="approx_time_sharding"):
+        parallel.run_time_batched(am_chain(), jnp.asarray(raw), 8)
+    ops = am_chain(agc_approx=1)
+    y = np.asarray(parallel.run_time_batched(ops, jnp.asarray(raw), 8))
+    assert y.shape == (8 * 16384 // 2 // 16,)
+    assert np.isfinite(y).all()
 
 
 def test_time_batched_matches_sequential(rng):
@@ -154,3 +187,42 @@ def test_time_batched_dc_blocker_exact(rng):
     got = np.asarray(parallel.run_time_batched([DcBlocker()],
                                                jnp.asarray(x), 8))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_mix_shard_phase_precision():
+    """Shard-start LO phases come from a float64 host table reduced mod 1
+    BEFORE the f32 cast, so phase error does not grow with shard index.
+    512 shards of 16 samples: the old traced-f32 ``frac * idx`` form errs
+    ~2e-4 here; the table keeps it at f32 rounding."""
+    f = 0.1234567
+    n, B = 8192, 512
+    x = np.ones(n, dtype=np.complex64)
+    got = np.asarray(parallel.run_time_batched([Mix(f)], jnp.asarray(x), B))
+    want = np.exp(2j * np.pi * np.mod(f * np.arange(n, dtype=np.float64),
+                                      1.0))
+    np.testing.assert_allclose(got, want.astype(np.complex64), atol=3e-5)
+
+
+def test_time_batched_channelize_restack(rng):
+    """The block axis must merge into the CHANNEL-INNER time axis for
+    Channelize chains ([..., C, n/C] per block -> [..., C, total/C]), not
+    into the first per-block axis (the round-1 _restack bug: expected
+    (C, total/C), got (B*C, n/C))."""
+    from sdr_tpu.ops.channelize import channelizer_taps
+    from sdr_tpu.stream import Channelize
+    C, n, B = 4, 8192, 8
+    taps = channelizer_taps(C, 6)
+    op = Channelize(taps, C)
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    c0 = op.init_carry(n, x.dtype)
+    _, whole = op.apply(c0, jnp.asarray(x))
+    got = np.asarray(parallel.run_time_batched([op], jnp.asarray(x), B))
+    assert got.shape == (C, n // C)
+    np.testing.assert_allclose(got, np.asarray(whole), atol=1e-4)
+    # same through Pipeline.process (scan path) and parallel_blocks path
+    p = Pipeline([op], block_in=n // B, in_dtype=x.dtype)
+    _, seq = p.process(x)
+    assert seq.shape == (C, n // C)
+    np.testing.assert_allclose(np.asarray(seq), np.asarray(whole), atol=1e-4)
+    _, par = p.process(x, parallel_blocks=4)
+    np.testing.assert_allclose(np.asarray(par), np.asarray(whole), atol=1e-4)

@@ -250,3 +250,34 @@ def test_decimator_taps_longer_than_block(rng):
     x = rng.uniform(-1, 1, 8192).astype(np.float32)
     taps = rng.uniform(-1, 1, 300).astype(np.float32)
     chunk_vs_whole(Fir.decimator(taps, 4), x, 256, atol=1e-3)
+
+
+def test_pipeline_run_batched_matches_run(rng):
+    """Pipeline.run_batched — the single implementation of the
+    segmented-carry loop (apps/fm.py --batched uses it) — equals the
+    sequential run sample for sample, including a short final group."""
+    p = fm_pipeline(81920)
+    raw = rng.integers(0, 256, 81920 * 5).astype(np.uint8)
+    want = np.concatenate(
+        [np.asarray(y) for y in p.run(raw.reshape(5, 81920))], axis=-1)
+    got = np.concatenate(
+        list(p.run_batched(raw.reshape(5, 81920), parallel_blocks=2)),
+        axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pipeline_restore_rejects_shape_mismatch(rng, tmp_path):
+    """A checkpoint from a structurally different pipeline (same op count,
+    different filter lengths -> different history shapes) must not restore
+    silently — a wrong-length Fir history would shift stream alignment."""
+    import pytest
+    taps_a = ops.windowed_sinc(64, 0.5, ops.hamming)
+    taps_b = ops.windowed_sinc(32, 0.5, ops.hamming)
+    p_a = Pipeline([Fir.filter(taps_a)], block_in=1024,
+                   in_dtype=jnp.float32)
+    p_b = Pipeline([Fir.filter(taps_b)], block_in=1024,
+                   in_dtype=jnp.float32)
+    path = str(tmp_path / "c.npz")
+    p_a.checkpoint(p_a.init(), path)
+    with pytest.raises(ValueError, match="shape"):
+        p_b.restore(path)
