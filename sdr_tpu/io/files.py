@@ -17,6 +17,7 @@ import numpy as np
 
 __all__ = [
     "iq_file_source",
+    "follow_iq_file",
     "read_iq_file",
     "write_iq_file",
     "block_sink",
@@ -54,6 +55,43 @@ def iq_file_source(path, block: int, fmt: str = "u8",
             yield np.asarray(data[i:i + block])
         if not repeat:
             return
+
+
+def follow_iq_file(path, block: int, fmt: str = "u8",
+                   poll: float = 0.2,
+                   idle_timeout: Optional[float] = None,
+                   from_end: bool = False) -> Iterator[np.ndarray]:
+    """Tail a GROWING raw IQ file, yielding each complete block as it
+    lands — the headless analog of following a live capture the way the
+    reference's OpenGL plots follow a stream (Plot.hs:72-78).
+
+    ``idle_timeout``: stop after this many seconds without file growth
+    (None = follow forever).  ``from_end=True`` skips history and starts
+    at the current end of file (tail -f semantics)."""
+    import time
+
+    dtype = IQ_DTYPES[fmt]
+    item = np.dtype(dtype).itemsize
+    nbytes = block * item
+    with open(path, "rb") as fh:
+        if from_end:
+            fh.seek(0, 2)
+            fh.seek(fh.tell() // nbytes * nbytes)
+        idle = 0.0
+        buf = b""
+        while True:
+            chunk = fh.read(nbytes - len(buf))
+            if chunk:
+                idle = 0.0
+                buf += chunk
+                if len(buf) == nbytes:
+                    yield np.frombuffer(buf, dtype=dtype)
+                    buf = b""
+                continue
+            if idle_timeout is not None and idle >= idle_timeout:
+                return
+            time.sleep(poll)
+            idle += poll
 
 
 def write_iq_file(path, x, fmt: Optional[str] = None) -> None:

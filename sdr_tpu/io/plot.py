@@ -81,11 +81,18 @@ class Waterfall:
         if row.ndim == 1:
             row = row[None, :]
         k = row.shape[0]
+        self._n += k
+        if k >= self.buf.shape[0]:  # one push larger than the window
+            self.buf = row[-self.buf.shape[0]:].copy()
+            return
         self.buf = np.roll(self.buf, -k, axis=0)
         self.buf[-k:] = row
-        self._n += k
 
-    def save(self, filename: str) -> None:
+    def save(self, filename: str, atomic: bool = False) -> None:
+        """Render the current window to a PNG.  ``atomic=True`` writes to
+        a temp file and renames — so a viewer polling the path while a
+        live follow rewrites it never reads a half-written image."""
+        import os
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -96,5 +103,28 @@ class Waterfall:
         ax.imshow(img, aspect="auto", origin="lower", cmap="viridis")
         ax.set_xlabel("frequency bin")
         ax.set_ylabel("time (rows)")
-        fig.savefig(filename, dpi=100)
+        target = f"{filename}.tmp" if atomic else filename
+        fig.savefig(target, dpi=100, format="png")
         plt.close(fig)
+        if atomic:
+            os.replace(target, filename)
+
+    # characters of increasing ink for the terminal renderer
+    _RAMP = " .:-=+*#%@"
+
+    def ansi_rows(self, rows, cols: int = 80, lo_db: float = -80.0,
+                  hi_db: float = 0.0) -> list:
+        """Render spectral rows as terminal text lines (one string per
+        row) — the live headless stand-in for the reference's rolling
+        OpenGL waterfall (Plot.hs:72-78): print each line as it arrives
+        and the terminal itself scrolls."""
+        rows = np.atleast_2d(np.asarray(rows, dtype=np.float32))
+        img = 20 * np.log10(np.maximum(rows, 1e-12)) if self.db else rows
+        # resample bins to the terminal width by max-pooling
+        n = img.shape[1]
+        idx = np.linspace(0, n, cols + 1).astype(int)
+        pooled = np.stack([img[:, idx[i]:max(idx[i + 1], idx[i] + 1)].max(
+            axis=1) for i in range(cols)], axis=1)
+        t = np.clip((pooled - lo_db) / (hi_db - lo_db), 0.0, 1.0)
+        levels = (t * (len(self._RAMP) - 1)).astype(int)
+        return ["".join(self._RAMP[v] for v in line) for line in levels]

@@ -279,3 +279,54 @@ def test_fm_tx_then_rx_roundtrip(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     tone = _dominant_tone(out, 48000)
     assert abs(tone - 600) < 10, f"tone {tone}"
+
+
+def test_follow_iq_file(tmp_path, rng):
+    """Tail a growing raw file: complete blocks appear as they land, the
+    trailing partial stays buffered, idle_timeout ends the follow."""
+    import threading
+    import time
+    from sdr_tpu.io.files import follow_iq_file
+    p = tmp_path / "grow.iq"
+    data = rng.integers(0, 256, 4096, dtype=np.uint8)
+    p.write_bytes(b"")
+
+    def writer():
+        with open(p, "ab") as fh:
+            for i in range(0, 4096, 512):
+                fh.write(data[i:i + 512].tobytes())
+                fh.flush()
+                time.sleep(0.02)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    blocks = list(follow_iq_file(p, 1024, poll=0.01, idle_timeout=1.0))
+    t.join()
+    assert len(blocks) == 4
+    np.testing.assert_array_equal(np.concatenate(blocks), data)
+
+
+def test_waterfall_app_follow(fm_capture, tmp_path):
+    """Live waterfall: follow a growing capture, rewrite the PNG
+    continuously, print ANSI rows (Plot.hs:72-78 headless analog)."""
+    out = tmp_path / "wf_live.png"
+    r = _run_app(["waterfall", "--in", str(fm_capture), "--out", str(out),
+                  "--block", "524288", "--fft", "256", "--hop", "128",
+                  "--follow", "--term", "--refresh-rows", "32",
+                  "--idle-timeout", "1.0"], tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 1000
+    assert "followed" in r.stdout
+    # ANSI rows printed to the terminal
+    assert len(r.stdout.splitlines()) > 10
+
+
+def test_waterfall_ansi_rows():
+    from sdr_tpu.io.plot import Waterfall
+    wf = Waterfall(256, rows=16)
+    rows = np.ones((4, 256), dtype=np.float32) * 1e-6
+    rows[:, 100] = 1.0  # a strong bin must render as heavy ink
+    lines = wf.ansi_rows(rows, cols=64)
+    assert len(lines) == 4 and all(len(l) == 64 for l in lines)
+    assert lines[0][100 * 64 // 256] == "@"
+    assert lines[0].count("@") == 1
