@@ -1,16 +1,28 @@
 """Benchmark driver: FM receive-chain throughput on the attached device.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line on stdout:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "config": {...}}
 
 Metric: complex input samples/sec/chip through the full FM chain
 (u8 IQ -> convert -> decimate 8 -> FM demod -> 3/10 resample -> audio FIR
 -> scale), matching BASELINE.json's headline.  ``vs_baseline`` compares the
 per-chip rate against the north-star target of 10 GS/s aggregate on a
-v5e-16, i.e. 625 MS/s per chip.
+v5e-16, i.e. 625 MS/s per chip.  ``config`` pins the measurement so the
+number is reproducible: front end, FIR method, block count/size, and the
+second-run stability check.
 
-Extra per-kernel numbers go to stderr (and bench_details.json) so the JSON
-contract on stdout stays a single line.
+Structure (budgeted against BENCH_BUDGET_S, default 3000 s, so the whole
+script exits 0 inside the driver window even with cold compiles):
+
+1. headline — the CANONICAL configuration, run twice in fresh
+   subprocesses; the JSON line is printed as soon as the first run lands.
+2. per-stage breakdown of the chain (bench_stages.json) — the roofline
+   input for docs/DESIGN.md.
+3. kernel variant matrix (bench_kernels.json) — the Criterion analog
+   (benchmarks/Benchmarks.hs:79-156), incremental dump, deadline-aware.
+
+Everything lands in bench_details.json; stderr carries the human table.
 """
 
 import json
@@ -31,6 +43,25 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 BASELINE_PER_CHIP = 10e9 / 16  # BASELINE.md: >=10 GS/s aggregate on v5e-16
+
+# the ONE canonical headline configuration (recorded in the JSON line)
+HEADLINE_CONFIG = {
+    "formulation": "run_time_batched (vmap block-parallel, one program)",
+    "front": "quantized",     # int8-MXU fused convert+decimate (U8FrontEnd)
+    "method": "conv",         # back-half FIR path
+    "nblocks": 32,
+    "block_u8": 10_485_760,
+    "timing": ("8 chain repetitions unrolled INSIDE one program "
+               "(perturbed inputs, scalar fold); min of 5 warm runs, "
+               "null-RPC subtracted, divided by 8"),
+}
+
+_T0 = time.time()
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.time() - _T0)
 
 
 def _sync(y):
@@ -54,37 +85,20 @@ def null_rpc_time(iters: int = 5) -> float:
     return min(ts)
 
 
-def bench_fn(step, args, iters, warmup=3):
-    """Time a jitted (carry, x) -> (carry, y) step, chaining carries.
+def bench_chain_batched(method: str = "conv", front: str = "quantized",
+                        block: int = 10_485_760, nblocks: int = 32,
+                        iters: int = 8, runs: int = 5):
+    """The canonical headline measurement (HEADLINE_CONFIG).
 
-    The carry chain makes every step a data dependency of the last; the
-    final scalar transfer forces real completion.  The measured null RPC
-    round-trip is subtracted once.
-    """
-    null = null_rpc_time()
-    c, x = args
-    c2, y = step(c, x)
-    _sync(y)
-    for _ in range(warmup):
-        c2, y = step(c2, x)
-    _sync(y)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        c2, y = step(c2, x)
-    _sync(y)
-    dt = time.perf_counter() - t0 - null
-    return max(dt, 1e-9) / iters
-
-
-def bench_chain_batched(method: str = "conv", front: str = "auto",
-                        block: int = 10_485_760, nblocks: int = 32):
-    """Offline/recorded-stream throughput: ``nblocks`` blocks processed
-    block-PARALLEL in one program (parallel.run_time_batched semantics —
-    same samples as the sequential streamed run, proven in
-    tests/test_quantized.py).  This is the headline formulation: the chain
-    has no sequential dependency beyond bounded halos, so a TPU should
-    crunch the whole buffer at once, not dribble carry-chained blocks.
-    """
+    ``nblocks`` blocks processed block-PARALLEL
+    (parallel.run_time_batched semantics — same output samples as the
+    sequential streamed run, proven in tests/test_parallel.py), repeated
+    ``iters`` times INSIDE one compiled program on perturbed inputs with
+    every output folded into one scalar.  One dispatch of the 32-block
+    chain runs only ~5-15 ms on device — the same order as the tunnel's
+    RPC jitter — so single-dispatch timing is a latency lottery (the
+    round-1 record's 3.2x spread); in-program iteration makes the
+    measured region ~10x the noise.  Returns (rate, per-run times)."""
     from sdr_tpu.apps.chains import fm_chain
     from sdr_tpu.parallel.sharded import time_sharded_fn
 
@@ -92,40 +106,42 @@ def bench_chain_batched(method: str = "conv", front: str = "auto",
     rng = np.random.default_rng(0)
     xb = jnp.asarray(rng.integers(0, 256, (nblocks, block), dtype=np.uint8))
     fn = time_sharded_fn(ops, axis_name="b")
-    g = jax.jit(lambda r: jnp.mean(jax.vmap(fn, axis_name="b")(r))[None])
-    _sync(g(xb))
+
+    def looped():
+        acc = jnp.float32(0)
+        for i in range(iters):  # perturbed input defeats CSE across iters
+            y = jax.vmap(fn, axis_name="b")(xb + jnp.uint8(i))
+            acc = acc + jnp.mean(y) * 1e-3
+        return acc[None]
+
+    g = jax.jit(looped)
+    _sync(g())
     null = null_rpc_time(3)
     ts = []
-    for _ in range(5):
+    for _ in range(runs):
         t0 = time.perf_counter()
-        _sync(g(xb))
-        ts.append(time.perf_counter() - t0 - null)
-    return (nblocks * block // 2) / max(min(ts), 1e-9)
+        _sync(g())
+        ts.append((time.perf_counter() - t0 - null) / iters)
+    rate = (nblocks * block // 2) / max(min(ts), 1e-9)
+    return rate, ts
 
 
-def bench_chain(method: str, block: int, iters: int = 12,
-                front: str = "auto"):
-    """Streaming FM-chain throughput: ``iters`` carry-chained steps.
-
-    Primary form runs the steps INSIDE one program (the same structure as
-    Pipeline.scan) — the per-step boundary crossing is where the axon
-    runtime breaks, and in-program iteration also amortizes its RPC
-    overhead.  Per-step inputs are fresh slices of a longer buffer so no
-    step's work can be CSE'd away; the returned audio sum depends on every
-    step through the carry chain.
-    """
+def bench_chain_stream(method: str = "conv", front: str = "quantized",
+                       block: int = 10_485_760, iters: int = 12):
+    """Secondary: sequential carry-chained streaming steps INSIDE one
+    program (python-unrolled — the axon runtime rejects some scan-wrapped
+    chains).  Fresh input slices per step prevent CSE; the audio fold
+    makes every step live."""
     from sdr_tpu.apps.chains import fm_chain
     from sdr_tpu.stream import Pipeline
 
     p = Pipeline(fm_chain(method=method, front=front), block_in=block,
                  in_dtype=jnp.uint8)
     rng = np.random.default_rng(0)
-    n_src = 4  # distinct source blocks cycled through the loop
+    n_src = 4
     raw = jnp.asarray(rng.integers(0, 256, (n_src, block), dtype=np.uint8))
 
     def chained(r):
-        # python-unrolled loop: the known-good in-program form on the axon
-        # runtime (it rejects some scan-wrapped chains)
         c = p.init()
         acc = jnp.float32(0)
         for i in range(iters):
@@ -133,20 +149,13 @@ def bench_chain(method: str, block: int, iters: int = 12,
             acc = acc + jnp.mean(y) * 1e-3
         return acc[None]
 
-    try:
-        g = jax.jit(chained)
-        _sync(g(raw))
-        null = null_rpc_time(3)
-        t0 = time.perf_counter()
-        _sync(g(raw))
-        dt = max(time.perf_counter() - t0 - null, 1e-9) / iters
-        return (block // 2) / dt
-    except Exception as e:  # noqa: BLE001
-        print(f"in-program chain bench failed ({str(e)[:80]}); "
-              "falling back to per-step dispatch", file=sys.stderr)
-    step = p.jit_packed_step(donate=False)
-    dt = bench_fn(step, (p.init_packed(), raw[0]), iters)
-    return (block // 2) / dt  # complex input samples/sec
+    g = jax.jit(chained)
+    _sync(g(raw))
+    null = null_rpc_time(3)
+    t0 = time.perf_counter()
+    _sync(g(raw))
+    dt = max(time.perf_counter() - t0 - null, 1e-9) / iters
+    return (block // 2) / dt
 
 
 def _time_jit(fn, iters=10):
@@ -164,7 +173,11 @@ def _time_jit(fn, iters=10):
     def looped():
         acc = jnp.float32(0)
         for i in range(iters):
-            y = fn(jnp.int32(i))
+            # (acc * 0) makes iteration i's INPUT depend on i-1's output:
+            # XLA must run them serially and can reuse intermediate
+            # buffers (8 independent copies of a 335 MB front-end case
+            # otherwise OOM), and overlap can't inflate the rate.
+            y = fn(jnp.int32(i) + (acc * 0).astype(jnp.int32))
             first = jax.tree.leaves(y)[0]
             red = jnp.mean(jnp.abs(first)) if jnp.iscomplexobj(first) \
                 else jnp.mean(first)
@@ -180,7 +193,75 @@ def _time_jit(fn, iters=10):
     return max(dt, 1e-9) / iters
 
 
-def bench_kernels(block: int = 1 << 20, iters: int = 10, dump: str = None):
+def bench_stages(block: int = 10_485_760, nblocks: int = 32, iters: int = 8,
+                 dump: str = "bench_stages.json", deadline: float = None):
+    """Per-stage cost of the batched FM chain at its REAL in-pipeline
+    shapes (the roofline input: VERDICT r1 weak #5).  Rates are complex
+    input samples/sec equivalents so stages are directly comparable to the
+    chain headline; seconds-per-dispatch are recorded too."""
+    from sdr_tpu.apps.chains import fm_taps
+    from sdr_tpu.ops import fir, demod
+    from sdr_tpu.ops.quantized import fir_decimate_u8_planar
+    from sdr_tpu.ops import convert
+
+    rf, ars, afl = fm_taps()
+    rng = np.random.default_rng(0)
+    n_c = block // 2                  # complex samples per block
+    n_d = n_c // 8                    # after decimate-by-8
+    n_r = n_d * 3 // 10               # after 3/10 resample
+    raw = jnp.asarray(rng.integers(0, 256, (nblocks, block), dtype=np.uint8))
+    xc = jnp.asarray(rng.uniform(-1, 1, (nblocks, 2, n_c + 64)
+                                 ).astype(np.float32))
+    xp = jnp.asarray(rng.uniform(-1, 1, (nblocks, 2, n_d + 64)
+                                 ).astype(np.float32))
+    xd = jnp.asarray(rng.uniform(-1, 1, (nblocks, n_d + 64)
+                                 ).astype(np.float32))
+    xr = jnp.asarray(rng.uniform(-1, 1, (nblocks, n_r + 64)
+                                 ).astype(np.float32))
+
+    out = {}
+
+    def case(name, fn, in_complex_samples):
+        if deadline is not None and time.time() > deadline:
+            print(f"bench_stages: deadline before {name}", file=sys.stderr)
+            return
+        try:
+            dt = _time_jit(fn, iters)
+            out[name] = {"sec": dt,
+                         "gsps_equiv": in_complex_samples / dt / 1e9}
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: {str(e)[:160]}", file=sys.stderr)
+            out[name] = {"error": str(e)[:200]}
+        with open(dump, "w") as fh:
+            json.dump(out, fh, indent=2)
+
+    total = nblocks * n_c
+    case("front_int8_fused",
+         lambda i: fir_decimate_u8_planar(rf, 8, raw + i.astype(jnp.uint8),
+                                          n_d), total)
+    case("front_exact_convert",
+         lambda i: convert.iq_u8_to_planar(raw + i.astype(jnp.uint8)), total)
+    case("front_exact_decim_conv",
+         lambda i: fir.fir_decimate(rf, 8, xc + i.astype(jnp.float32) * 1e-30,
+                                    (n_c + 64 - 51) // 8 + 1,
+                                    method="conv"), total)
+    case("demod_planar",
+         lambda i: demod.fm_demod_planar(
+             xp + i.astype(jnp.float32) * 1e-30,
+             jnp.zeros((nblocks, 2), jnp.float32))[0], total)
+    case("resample_3_10_k31",
+         lambda i: fir.fir_resample(ars, 3, 10,
+                                    xd + i.astype(jnp.float32) * 1e-30,
+                                    0, (n_d + 64) * 3 // 10,
+                                    method="conv")[0], total)
+    case("audio_fir_k64",
+         lambda i: fir.fir_filter(afl, xr + i.astype(jnp.float32) * 1e-30,
+                                  n_r, method="conv"), total)
+    return out
+
+
+def bench_kernels(block: int = 1 << 20, iters: int = 10, dump: str = None,
+                  deadline: float = None):
     """Per-kernel microbenchmarks — the Criterion variant matrix analog
     (benchmarks/Benchmarks.hs:79-156: {filter, decimate, resample} x
     {real, complex} x implementations + conversion + scale; tap-count
@@ -203,6 +284,9 @@ def bench_kernels(block: int = 1 << 20, iters: int = 10, dump: str = None):
         return xc0 + i.astype(jnp.complex64) * 1e-30
 
     def case(name, fn):
+        if deadline is not None and time.time() > deadline:
+            print(f"bench_kernels: deadline before {name}", file=sys.stderr)
+            return
         try:
             out[name] = block / _time_jit(fn, iters)
         except Exception as e:  # noqa: BLE001
@@ -211,7 +295,33 @@ def bench_kernels(block: int = 1 << 20, iters: int = 10, dump: str = None):
             with open(dump, "w") as fh:
                 json.dump({k: float(v) for k, v in out.items()}, fh)
 
-    methods = ("conv", "banded", "direct", "pallas")
+    # ordered so the formerly-missing rows (resample/convert/scale/fft/
+    # dc_blocker/int8 front) land FIRST — a deadline cuts the tap sweep,
+    # not the coverage (VERDICT r1 missing #3)
+    from sdr_tpu.ops.quantized import fir_decimate_u8_planar
+    taps51 = rng.uniform(-1, 1, 51).astype(np.float32)
+    case("u8_front_k51_d8_int8",
+         lambda i: fir_decimate_u8_planar(
+             taps51, 8, raw + i.astype(jnp.uint8),
+             (block // 2 - 51) // 8 + 1))
+    taps128 = rng.uniform(-1, 1, 128).astype(np.float32)
+    case("resample_r_3_4",
+         lambda i: fir.fir_resample(taps128, 3, 4, perturb(i))[0])
+    case("resample_c_3_4",
+         lambda i: fir.fir_resample(taps128, 3, 4, perturbc(i))[0])
+    case("resample_r_3_10_k31",
+         lambda i: fir.fir_resample(
+             rng.uniform(-1, 1, 31).astype(np.float32), 3, 10, perturb(i))[0])
+    case("convert_u8",
+         lambda i: jnp.abs(convert.iq_u8_to_cfloat(raw + i.astype(jnp.uint8))))
+    case("convert_u8_planar",
+         lambda i: convert.iq_u8_to_planar(raw + i.astype(jnp.uint8)))
+    case("scale", lambda i: convert.scale(0.3, perturb(i)))
+    case("fft_1024_batch",
+         lambda i: jnp.abs(fftops.fft(perturbc(i).reshape(-1, 1024))))
+    case("dc_blocker", lambda i: scans.dc_blocker(perturb(i))[0])
+    # variant matrix: {filter, decimate} x {real, complex} x methods
+    methods = ("conv", "direct", "pallas")
     for ntaps in (32, 128, 512):
         taps = rng.uniform(-1, 1, ntaps).astype(np.float32)
         for method in methods:
@@ -220,119 +330,115 @@ def bench_kernels(block: int = 1 << 20, iters: int = 10, dump: str = None):
             case(f"filter_r_k{ntaps}_{method}",
                  lambda i, m=method, t=taps, k=ntaps: fir.fir_filter(
                      t, perturb(i), block - k + 1, method=m))
-    taps128 = rng.uniform(-1, 1, 128).astype(np.float32)
-    for method in ("conv", "banded", "pallas"):
+    for method in ("conv", "pallas"):
         case(f"decimate_r_k128_{method}",
              lambda i, m=method: fir.fir_decimate(
                  taps128, 4, perturb(i), (block - 128) // 4, method=m))
         case(f"filter_c_k128_{method}",
              lambda i, m=method: fir.fir_decimate(
                  taps128, 1, perturbc(i), block - 127, method=m))
-    case("resample_r_3_4",
-         lambda i: fir.fir_resample(taps128, 3, 4, perturb(i))[0])
-    case("resample_c_3_4",
-         lambda i: fir.fir_resample(taps128, 3, 4, perturbc(i))[0])
-    # conversion / scale / fft (convert.c, scale.c, FFT.hs analogs)
-    case("convert_u8",
-         lambda i: jnp.abs(convert.iq_u8_to_cfloat(raw + i.astype(jnp.uint8))))
-    case("scale", lambda i: convert.scale(0.3, perturb(i)))
-    case("fft_1024_batch",
-         lambda i: jnp.abs(fftops.fft(perturbc(i).reshape(-1, 1024))))
-    case("dc_blocker", lambda i: scans.dc_blocker(perturb(i))[0])
-    # fused int8-MXU front end (convert + decimate-by-8, 51 taps)
-    from sdr_tpu.ops.quantized import fir_decimate_u8_planar
-    taps51 = rng.uniform(-1, 1, 51).astype(np.float32)
-    case("u8_front_k51_d8_int8",
-         lambda i: fir_decimate_u8_planar(
-             taps51, 8, raw + i.astype(jnp.uint8),
-             (block // 2 - 51) // 8 + 1))
+        case(f"decimate_r_k51_d8_{method}",
+             lambda i, m=method: fir.fir_decimate(
+                 taps51, 8, perturb(i), (block - 51) // 8, method=m))
     return out
 
 
-def _chain_subprocess(code: str, tag: str, attempts: int = 3):
-    """Run one chain bench snippet in a subprocess with retry + cooldown.
+def _subproc(code: str, tag: str, timeout: float, attempts: int = 2):
+    """Run one bench snippet in a subprocess with retry + cooldown.
 
     The tunneled TPU runtime 'poisons' a client (and itself, for minutes)
-    on certain failures; isolation + patience gets a number through."""
+    on certain failures; isolation + patience gets a number through.
+    Returns the last stdout line parsed as JSON, or None."""
     import subprocess
     for attempt in range(attempts):
+        if _remaining() < 60:
+            print(f"{tag}: skipped (budget)", file=sys.stderr)
+            return None
         try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, text=True, timeout=900)
-            if r.returncode == 0:
-                return float(r.stdout.strip().splitlines()[-1])
-            print(f"{tag} attempt {attempt}: "
-                  f"{r.stderr[-300:]}", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"{tag} attempt {attempt}: {e}",
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=min(timeout, max(_remaining(), 60)))
+            if r.returncode == 0 and r.stdout.strip():
+                return json.loads(r.stdout.strip().splitlines()[-1])
+            print(f"{tag} attempt {attempt}: {r.stderr[-300:]}",
                   file=sys.stderr)
-        if attempt + 1 < attempts:
+        except Exception as e:  # noqa: BLE001
+            print(f"{tag} attempt {attempt}: {e}", file=sys.stderr)
+        if attempt + 1 < attempts and _remaining() > 300:
             time.sleep(240)  # tunnel recovery window
     return None
 
 
 def main():
-    block = 10_485_760  # 10 MiB u8 -> 5.24M complex samples / block
     results = {}
-    # headline: block-parallel recorded-stream processing (32 blocks in
-    # one program); fallback/secondary: carry-chained streaming steps
-    cases = [
-        ("fm_chain_batched",
-         "import json, bench; "
-         "print(json.dumps(bench.bench_chain_batched('conv', 'auto')))"),
-        ("fm_chain_stream",
-         "import json, bench; "
-         f"print(json.dumps(bench.bench_chain('conv', {block})))"),
-    ]
-    for tag, code in cases:
-        rate = _chain_subprocess(code, tag)
-        if rate is not None:
-            results[tag] = rate
-    best = None
-    for tag in ("fm_chain_batched", "fm_chain_stream"):
-        if tag in results and (best is None or results[tag] > best[1]):
-            best = (tag, results[tag])
-    if best is None:
+    cfg = HEADLINE_CONFIG
+    # 1. canonical headline, twice in fresh subprocesses (stability check)
+    code = ("import json, bench; r, ts = bench.bench_chain_batched("
+            f"{cfg['method']!r}, {cfg['front']!r}, {cfg['block_u8']}, "
+            f"{cfg['nblocks']}); print(json.dumps({{'rate': r, 'runs': ts}}))")
+    first = _subproc(code, "headline_run1", timeout=1700)
+    if first is None:
         print(json.dumps({"metric": "fm_chain_samples_per_sec_per_chip",
                           "value": 0, "unit": "complex S/s",
-                          "vs_baseline": 0.0}))
-        return 1
+                          "vs_baseline": 0.0, "config": cfg}))
+        return 0  # exit clean either way; the artifact records the miss
+    results["fm_chain_batched"] = first["rate"]
+    results["fm_chain_batched_runs"] = first["runs"]
 
-    # headline FIRST (cold compiles below can outlive the caller's budget;
-    # stdout contract stays one JSON line either way)
     print(json.dumps({
         "metric": "fm_chain_samples_per_sec_per_chip",
-        "value": round(best[1]),
+        "value": round(first["rate"]),
         "unit": "complex S/s",
-        "vs_baseline": round(best[1] / BASELINE_PER_CHIP, 3),
+        "vs_baseline": round(first["rate"] / BASELINE_PER_CHIP, 3),
+        "config": cfg,
     }), flush=True)
 
-    # kernel matrix in a subprocess: a backend bug in one case (the axon
-    # runtime "poisons" a client on certain failures) must not take down
-    # the headline measurement.
-    try:
-        import subprocess
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import bench; "
-             "bench.bench_kernels(iters=10, dump='bench_kernels.json')"],
-            capture_output=True, text=True, timeout=3600)
-        if r.returncode != 0:
-            print(f"kernel bench failed: {r.stderr[-500:]}", file=sys.stderr)
-        with open("bench_kernels.json") as fh:
-            results.update(json.load(fh))  # whatever completed
-    except Exception as e:  # noqa: BLE001
-        print(f"kernel bench failed: {e}", file=sys.stderr)
+    second = _subproc(code, "headline_run2", timeout=900, attempts=1)
+    if second is not None:
+        results["fm_chain_batched_run2"] = second["rate"]
+        spread = abs(first["rate"] - second["rate"]) / max(
+            first["rate"], second["rate"])
+        results["headline_stability_spread"] = spread
+        print(f"headline stability: {spread:.1%} across two fresh "
+              "subprocess runs", file=sys.stderr)
 
-    for k, v in sorted(results.items()):
-        print(f"{k:28s} {v/1e9:9.3f} GS/s", file=sys.stderr)
+    # 2. secondary: sequential streaming formulation (recorded, not the
+    #    headline)
+    stream = _subproc(
+        "import json, bench; print(json.dumps(bench.bench_chain_stream()))",
+        "fm_chain_stream", timeout=1700, attempts=1)
+    if stream is not None:
+        results["fm_chain_stream"] = stream
+
+    # 3. per-stage breakdown (roofline input)
+    deadline = _T0 + _BUDGET - 60
+    stages = _subproc(
+        "import json, time, bench; "
+        f"print(json.dumps(bench.bench_stages(deadline={deadline!r})))",
+        "stages", timeout=1700, attempts=1)
+    if stages is not None:
+        results["stages"] = stages
+
+    # 4. kernel matrix (incremental dump survives any timeout)
+    _subproc(
+        "import json, bench; "
+        f"print(json.dumps(bench.bench_kernels(dump='bench_kernels.json', "
+        f"deadline={deadline!r})))",
+        "kernels", timeout=max(_remaining(), 60), attempts=1)
     try:
-        with open("bench_details.json", "w") as fh:
-            json.dump({k: float(v) for k, v in results.items()}, fh,
-                      indent=2)
+        with open("bench_kernels.json") as fh:
+            results.update(json.load(fh))
     except OSError:
         pass
 
+    for k, v in sorted(results.items()):
+        if isinstance(v, (int, float)):
+            print(f"{k:28s} {v/1e9:9.3f} GS/s", file=sys.stderr)
+    try:
+        with open("bench_details.json", "w") as fh:
+            json.dump(results, fh, indent=2, default=float)
+    except OSError:
+        pass
     return 0
 
 

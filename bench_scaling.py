@@ -61,11 +61,19 @@ def main():
     eff = {nd: (r / nd) / base for nd, r in results.items()} if base else {}
     for nd, e in eff.items():
         print(f"weak-scaling efficiency @ {nd}: {e:.2%}", file=sys.stderr)
+    backend = jax.default_backend()
+    note = ("collective-pattern regression canary only: virtual devices "
+            "share host cores, so per-device rates CANNOT scale; the "
+            ">=90% target is measurable only on a real pod slice"
+            ) if backend == "cpu" else "real device mesh"
     print(json.dumps({
         "metric": "fm_chain_weak_scaling_efficiency",
         "value": round(min(eff.values()), 4) if eff else 0,
         "unit": "fraction",
+        "backend": backend,
+        "note": note,
         "devices": {str(k): round(v) for k, v in results.items()},
+        "efficiency": {str(k): round(v, 4) for k, v in eff.items()},
     }))
 
 
