@@ -73,7 +73,8 @@ def u8_front_plan(taps, factor: int):
     return _plan(taps.tobytes(), taps.shape[0], int(factor))
 
 
-def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None):
+def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
+                           impl: str = "xla"):
     """Interleaved u8 IQ ``[..., 2n]`` -> decimated planar f32
     ``[..., 2, num]`` in one fused step (convert + K-tap decimate-by-f).
 
@@ -82,7 +83,20 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None):
     ``fir_decimate`` (reference decimate.c:73-82 on convert.c:15-20
     output), computed exactly in int arithmetic with 16-bit-quantized
     taps.
+
+    ``impl``: 'xla' (this module's window-materializing formulation),
+    'pallas' (kernels/u8_front_pallas.py — same plan, windows stay in
+    VMEM, bit-identical output), or 'auto' (pallas on TPU when the
+    window tail fits its halo, else xla).
     """
+    if impl != "xla":
+        taps_a = np.asarray(taps, dtype=np.float32)
+        K, f = taps_a.shape[0], int(factor)
+        fits = 2 * (K - 1) + 2 - 2 * f <= LANE
+        if impl == "pallas" or (impl == "auto" and fits and
+                                jax.default_backend() != "cpu"):
+            from sdr_tpu.kernels.u8_front_pallas import u8_front_pallas
+            return u8_front_pallas(taps, factor, raw, num)
     taps = np.asarray(taps, dtype=np.float32)
     K, f = taps.shape[0], int(factor)
     n = raw.shape[-1] // 2

@@ -110,10 +110,11 @@ class U8FrontEnd(StreamOp):
     bytes (overlap-save, in wire format).
     """
 
-    def __init__(self, taps, factor: int):
+    def __init__(self, taps, factor: int, impl: str = "auto"):
         self.taps = np.asarray(taps, dtype=np.float32)
         self.factor = int(factor)
         self.n_taps = self.taps.shape[0]
+        self.impl = impl
 
     def out_len(self, n_in):
         if n_in % 2:
@@ -144,7 +145,8 @@ class U8FrontEnd(StreamOp):
         from sdr_tpu.ops.quantized import fir_decimate_u8_planar
         n_out = self.out_len(x.shape[-1])
         xext = jnp.concatenate([carry, x], axis=-1)
-        y = fir_decimate_u8_planar(self.taps, self.factor, xext, n_out)
+        y = fir_decimate_u8_planar(self.taps, self.factor, xext, n_out,
+                                   impl=self.impl)
         H = carry.shape[-1]
         new = xext[..., xext.shape[-1] - H:] if H else carry
         return new, y

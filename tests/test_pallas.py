@@ -62,3 +62,48 @@ def test_pallas_short_output(rng):
     taps = rng.uniform(-1, 1, 33).astype(np.float32)
     got = np.asarray(fir_strided(taps, x, 100, 1, interpret=True))
     np.testing.assert_allclose(got, filter_oracle(taps, x, 100), atol=TOL)
+
+
+# --- fused int8 u8-IQ front end (kernels/u8_front_pallas.py) ---
+
+def _u8_front_oracle(taps, factor, raw, num):
+    """Float reference: convert (convert.c:15-20) then decimate
+    (decimate.c:73-82), per plane."""
+    x = (raw.astype(np.float64) - 128.0) / 128.0
+    i, q = x[0::2], x[1::2]
+    out = np.empty((2, num))
+    for c, comp in enumerate((i, q)):
+        for m in range(num):
+            out[c, m] = np.dot(taps, comp[m * factor: m * factor + len(taps)])
+    return out
+
+
+@pytest.mark.parametrize("factor,ntaps", [(8, 51), (4, 33), (2, 17), (8, 72)])
+def test_pallas_u8_front(rng, factor, ntaps):
+    from sdr_tpu.kernels import u8_front_pallas
+    raw = rng.integers(0, 256, 70000).astype(np.uint8)
+    taps = rng.uniform(-1, 1, ntaps).astype(np.float32)
+    num = (raw.shape[0] // 2 - ntaps) // factor + 1
+    got = np.asarray(u8_front_pallas(taps, factor, raw, num, interpret=True))
+    want = _u8_front_oracle(taps, factor, raw, num)
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
+def test_pallas_u8_front_matches_xla_int8_path_exactly(rng):
+    """Same plan, same integer algebra -> bit-identical to
+    ops.quantized.fir_decimate_u8_planar."""
+    from sdr_tpu.kernels import u8_front_pallas
+    from sdr_tpu.ops.quantized import fir_decimate_u8_planar
+    raw = rng.integers(0, 256, (3, 1 << 16)).astype(np.uint8)
+    taps = rng.uniform(-1, 1, 51).astype(np.float32)
+    got = np.asarray(u8_front_pallas(taps, 8, raw, interpret=True))
+    want = np.asarray(fir_decimate_u8_planar(taps, 8, raw))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_u8_front_rejects_wide_window():
+    from sdr_tpu.kernels import u8_front_pallas
+    taps = np.ones(200, dtype=np.float32)
+    raw = np.zeros(1 << 16, dtype=np.uint8)
+    with pytest.raises(ValueError, match="halo"):
+        u8_front_pallas(taps, 8, raw, interpret=True)
