@@ -34,7 +34,8 @@ def fm_taps():
 
 
 def fm_chain(volume: float = 0.2, method: str = "auto",
-             planar: bool = False, front: str = "exact"):
+             planar: bool = False, front: str = "exact",
+             front_precision: str = "s16", atan2: str = "exact"):
     """Broadcast FM receiver ops (config #1; examples/fm/fm.hs:32-41):
     u8 IQ -> decimate 8 -> FM demod -> 3/10 resample -> audio FIR -> volume.
 
@@ -49,7 +50,11 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
     'quantized' fuses them into the int8-MXU front end (U8FrontEnd,
     ~2e-4 abs difference from tap quantization, 50x inside the 0.01
     differential bound; the fast path on TPU); 'auto' picks quantized on
-    TPU.  'quantized' implies the planar demod.
+    TPU.  'quantized' implies the planar demod.  ``front_precision``:
+    's16' (hi/lo split taps, ~2e-4) or 's8' (single 8-bit band — half
+    the MXU work, ~2e-3, still 5x inside the differential bound).
+    ``atan2='poly'``: polynomial demod atan2 (5.8e-7 rad; planar demod
+    only).
     """
     rf, ars, afl = fm_taps()
     if front == "auto":
@@ -60,10 +65,11 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
             Scale(volume)]
     if front == "quantized":
         from sdr_tpu.stream import U8FrontEnd
-        return [U8FrontEnd(rf, 8), FmDemod(planar=True), *back]
+        return [U8FrontEnd(rf, 8, precision=front_precision),
+                FmDemod(planar=True, atan2=atan2), *back]
     return [IqConvertU8(planar=planar),
             Fir.decimator(rf, 8, method=method),
-            FmDemod(planar=planar),
+            FmDemod(planar=planar, atan2=atan2 if planar else "exact"),
             *back]
 
 

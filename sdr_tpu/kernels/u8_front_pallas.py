@@ -69,11 +69,26 @@ def _kernel(scale: float, xm_ref, xh_ref, bhi_ref, blo_ref,
     oq_ref[:] = y[:, LANE:]
 
 
+def _kernel_s8(scale: float, xm_ref, xh_ref, b_ref, oi_ref, oq_ref):
+    """Single-band variant (8-bit taps): one dot pair instead of two —
+    half the MXU work of the s16 hi/lo kernel."""
+    stride = xm_ref.shape[1]
+    xm = pltpu.bitcast(xm_ref[:] ^ jnp.uint8(0x80), jnp.int8)
+    xh = pltpu.bitcast(xh_ref[:] ^ jnp.uint8(0x80), jnp.int8)
+    acc = (jnp.dot(xm, b_ref[:stride, :],
+                   preferred_element_type=jnp.int32)
+           + jnp.dot(xh, b_ref[stride:, :],
+                     preferred_element_type=jnp.int32))
+    y = acc.astype(jnp.float32) * jnp.float32(scale)
+    oi_ref[:] = y[:, :LANE]
+    oq_ref[:] = y[:, LANE:]
+
+
 def _u8_front_1d(taps_np: np.ndarray, factor: int, raw, num: int,
-                 interpret: bool):
+                 interpret: bool, precision: str = "s16"):
     """raw: [bytes] u8 -> [2, num] planar f32."""
     K, f = taps_np.shape[0], factor
-    W, stride, scale, Bhi, Blo = u8_front_plan(taps_np, f)
+    W, stride, scale, Bhi, Blo = u8_front_plan(taps_np, f, precision)
     halo_w = W - stride
     if halo_w > LANE:
         raise ValueError(
@@ -95,22 +110,24 @@ def _u8_front_1d(taps_np: np.ndarray, factor: int, raw, num: int,
     Bp = np.zeros((stride + LANE, 2 * LANE), dtype=np.int8)
     Bh = Bp.copy()
     Bh[:W] = Bhi
-    Bl = Bp.copy()
-    Bl[:W] = Blo
+    bands = [jnp.asarray(Bh)]
+    if Blo is not None:
+        Bl = Bp.copy()
+        Bl[:W] = Blo
+        bands.append(jnp.asarray(Bl))
+    band_spec = pl.BlockSpec((stride + LANE, 2 * LANE), lambda p: (0, 0),
+                             memory_space=pltpu.VMEM)
 
     oi, oq = pl.pallas_call(
-        functools.partial(_kernel, scale),
+        functools.partial(_kernel if Blo is not None else _kernel_s8,
+                          scale),
         grid=(Pt,),
         in_specs=[
             pl.BlockSpec((ROWS, stride), lambda p: (p, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ROWS, LANE), lambda p: (p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((stride + LANE, 2 * LANE), lambda p: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((stride + LANE, 2 * LANE), lambda p: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + [band_spec] * len(bands),
         out_specs=[
             pl.BlockSpec((ROWS, LANE), lambda p: (p, 0),
                          memory_space=pltpu.VMEM),
@@ -122,20 +139,21 @@ def _u8_front_1d(taps_np: np.ndarray, factor: int, raw, num: int,
             jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
         ],
         interpret=interpret,
-    )(xm, xh, jnp.asarray(Bh), jnp.asarray(Bl))
+    )(xm, xh, *bands)
     y = jnp.stack([oi.reshape(rows * LANE)[:num],
                    oq.reshape(rows * LANE)[:num]])
     return y
 
 
 def u8_front_pallas(taps, factor: int, raw, num: int = None, *,
-                    interpret: bool | None = None):
+                    interpret: bool | None = None, precision: str = "s16"):
     """Fused interleaved-u8-IQ convert + decimate as a Pallas kernel.
 
     Drop-in for ``ops.quantized.fir_decimate_u8_planar``:
     ``raw [..., 2n] u8 -> [..., 2, num] f32`` with
     ``y[m] = sum_k taps[k] (raw[2(m f + k) + c] - 128) / 128`` per
-    component c, taps 16-bit-quantized (identical numerics — same plan).
+    component c, taps 16-bit-quantized (identical numerics — same plan)
+    or 8-bit with ``precision='s8'`` (one band: half the MXU work).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -144,7 +162,7 @@ def u8_front_pallas(taps, factor: int, raw, num: int = None, *,
     n = raw.shape[-1] // 2
     num = int((n - K) // f + 1 if num is None else num)
     fn = functools.partial(_u8_front_1d, taps_np, f, num=num,
-                           interpret=interpret)
+                           interpret=interpret, precision=precision)
     lead = raw.shape[:-1]
     if lead:
         flat = raw.reshape((-1, raw.shape[-1]))

@@ -25,7 +25,7 @@ from sdr_tpu.ops.fir import (  # noqa: F401
     prepare_phase_table,
 )
 from sdr_tpu.ops.demod import (fm_demod, fm_demod_planar,  # noqa: F401
-                               am_demod, fm_mod)
+                               am_demod, fm_mod, fast_atan2)
 from sdr_tpu.ops.scans import dc_blocker, agc, linear_scan  # noqa: F401
 from sdr_tpu.ops.fftops import (  # noqa: F401
     fft,

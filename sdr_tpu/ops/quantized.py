@@ -42,20 +42,31 @@ LANE = 128
 
 
 @functools.lru_cache(maxsize=32)
-def _plan(taps_bytes: bytes, n_taps: int, factor: int):
-    """Host-side banded-matrix construction (cached per (taps, factor))."""
+def _plan(taps_bytes: bytes, n_taps: int, factor: int,
+          precision: str = "s16"):
+    """Host-side banded-matrix construction (cached per (taps, factor)).
+
+    ``precision='s16'``: taps quantized to 16 bits, band split into hi/lo
+    s8 matrices (two MXU dots, ~2e-4 abs accuracy).  ``'s8'``: taps
+    quantized straight to 8 bits, ONE band (half the MXU work,
+    ~2e-3 abs — still 5x inside the reference's 0.01 differential bound);
+    the lo matrix is returned as None.
+    """
     taps = np.frombuffer(taps_bytes, dtype=np.float32)
     K, f = n_taps, factor
     W = (LANE - 1) * 2 * f + 2 * (K - 1) + 2   # window bytes per tile row
     stride = LANE * 2 * f                       # row start stride in bytes
     maxabs = float(np.abs(taps).max()) or 1.0
-    T16 = np.round(taps / maxabs * 32512.0).astype(np.int32)
-    scale = maxabs / 32512.0 / 128.0
+    qmax = 127.0 if precision == "s8" else 32512.0
+    Tq = np.round(taps / maxabs * qmax).astype(np.int32)
+    scale = maxabs / qmax / 128.0
     B = np.zeros((W, 2 * LANE), dtype=np.int32)
     for q in range(LANE):
         base = 2 * f * q
-        B[base: base + 2 * K: 2, q] = T16            # I plane columns
-        B[base + 1: base + 2 * K: 2, LANE + q] = T16  # Q plane columns
+        B[base: base + 2 * K: 2, q] = Tq            # I plane columns
+        B[base + 1: base + 2 * K: 2, LANE + q] = Tq  # Q plane columns
+    if precision == "s8":
+        return W, stride, scale, B.astype(np.int8), None
     # split B = 256*hi + lo with lo in [-128, 127]: floor((B+128)/256)
     # (a round-half-up split; round-half-to-even can yield lo = +128,
     # which wraps in int8)
@@ -66,15 +77,16 @@ def _plan(taps_bytes: bytes, n_taps: int, factor: int):
     return W, stride, scale, Bhi32.astype(np.int8), Blo32.astype(np.int8)
 
 
-def u8_front_plan(taps, factor: int):
+def u8_front_plan(taps, factor: int, precision: str = "s16"):
     """Expose the static plan (window width, row stride, scale, hi/lo
-    banded s8 matrices) — used by apply and by tests."""
+    banded s8 matrices; lo is None for precision='s8') — used by apply
+    and by tests."""
     taps = np.asarray(taps, dtype=np.float32)
-    return _plan(taps.tobytes(), taps.shape[0], int(factor))
+    return _plan(taps.tobytes(), taps.shape[0], int(factor), precision)
 
 
 def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
-                           impl: str = "xla"):
+                           impl: str = "xla", precision: str = "s16"):
     """Interleaved u8 IQ ``[..., 2n]`` -> decimated planar f32
     ``[..., 2, num]`` in one fused step (convert + K-tap decimate-by-f).
 
@@ -82,7 +94,8 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
     component c — identical semantics to ``iq_u8_to_cfloat`` followed by
     ``fir_decimate`` (reference decimate.c:73-82 on convert.c:15-20
     output), computed exactly in int arithmetic with 16-bit-quantized
-    taps.
+    taps (``precision='s16'``) or 8-bit-quantized taps (``'s8'``: one
+    band instead of hi/lo — half the MXU work, ~2e-3 abs accuracy).
 
     ``impl``: 'xla' (this module's window-materializing formulation),
     'pallas' (kernels/u8_front_pallas.py — same plan, windows stay in
@@ -96,14 +109,15 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
         if impl == "pallas" or (impl == "auto" and fits and
                                 jax.default_backend() != "cpu"):
             from sdr_tpu.kernels.u8_front_pallas import u8_front_pallas
-            return u8_front_pallas(taps, factor, raw, num)
+            return u8_front_pallas(taps, factor, raw, num,
+                                   precision=precision)
     taps = np.asarray(taps, dtype=np.float32)
     K, f = taps.shape[0], int(factor)
     n = raw.shape[-1] // 2
     if num is None:
         num = (n - K) // f + 1
     num = int(num)
-    W, stride, scale, Bhi, Blo = u8_front_plan(taps, f)
+    W, stride, scale, Bhi, Blo = u8_front_plan(taps, f, precision)
     P = -(-num // LANE)
     need = (P - 1) * stride + W
     if need > raw.shape[-1]:
@@ -121,10 +135,14 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
     X2 = jnp.concatenate([main, halo], axis=-1)          # [..., P, W] u8
     X2s = jax.lax.bitcast_convert_type(X2 ^ jnp.uint8(0x80), jnp.int8)
     cdims = (((X2s.ndim - 1,), (0,)), ((), ()))
-    acc = (jax.lax.dot_general(X2s, jnp.asarray(Bhi), cdims,
-                               preferred_element_type=jnp.int32) * 256
-           + jax.lax.dot_general(X2s, jnp.asarray(Blo), cdims,
-                                 preferred_element_type=jnp.int32))
+    if Blo is None:
+        acc = jax.lax.dot_general(X2s, jnp.asarray(Bhi), cdims,
+                                  preferred_element_type=jnp.int32)
+    else:
+        acc = (jax.lax.dot_general(X2s, jnp.asarray(Bhi), cdims,
+                                   preferred_element_type=jnp.int32) * 256
+               + jax.lax.dot_general(X2s, jnp.asarray(Blo), cdims,
+                                     preferred_element_type=jnp.int32))
     y = acc.astype(jnp.float32) * jnp.float32(scale)     # [..., P, 2*LANE]
     yi = y[..., :LANE].reshape(lead + (P * LANE,))[..., :num]
     yq = y[..., LANE:].reshape(lead + (P * LANE,))[..., :num]

@@ -110,11 +110,13 @@ class U8FrontEnd(StreamOp):
     bytes (overlap-save, in wire format).
     """
 
-    def __init__(self, taps, factor: int, impl: str = "auto"):
+    def __init__(self, taps, factor: int, impl: str = "auto",
+                 precision: str = "s16"):
         self.taps = np.asarray(taps, dtype=np.float32)
         self.factor = int(factor)
         self.n_taps = self.taps.shape[0]
         self.impl = impl
+        self.precision = precision
 
     def out_len(self, n_in):
         if n_in % 2:
@@ -144,10 +146,30 @@ class U8FrontEnd(StreamOp):
     def apply(self, carry, x):
         from sdr_tpu.ops.quantized import fir_decimate_u8_planar
         n_out = self.out_len(x.shape[-1])
+        H = carry.shape[-1]
+        f2 = 2 * self.factor
+        # Seam split: concat(carry, x) would copy the whole block — an
+        # extra read+write HBM pass costing ~20-30% of the front end
+        # itself.  Only the first ceil(H/2f) outputs read carry bytes;
+        # compute those from a tiny seam array and the rest straight
+        # from (a view of) x.  Bit-identical to the concat form: every
+        # output is an independent integer dot product.
+        mb = -(-H // f2) if H else 0
+        seam_x = (mb - 1) * f2 + 2 * self.n_taps - H if mb else 0
+        if H and 0 < seam_x <= x.shape[-1] and mb < n_out:
+            xb = jnp.concatenate([carry, x[..., :seam_x]], axis=-1)
+            yb = fir_decimate_u8_planar(self.taps, self.factor, xb, mb,
+                                        impl="xla",
+                                        precision=self.precision)
+            ym = fir_decimate_u8_planar(self.taps, self.factor,
+                                        x[..., mb * f2 - H:],
+                                        n_out - mb, impl=self.impl,
+                                        precision=self.precision)
+            return x[..., x.shape[-1] - H:], jnp.concatenate([yb, ym], -1)
         xext = jnp.concatenate([carry, x], axis=-1)
         y = fir_decimate_u8_planar(self.taps, self.factor, xext, n_out,
-                                   impl=self.impl)
-        H = carry.shape[-1]
+                                   impl=self.impl,
+                                   precision=self.precision)
         new = xext[..., xext.shape[-1] - H:] if H else carry
         return new, y
 
@@ -261,10 +283,14 @@ class FmDemod(StreamOp):
     ``planar=True``: input is planar-complex ``[..., 2, n]`` f32 (from
     ``IqConvertU8(planar=True)``); the carry is the previous block's final
     (re, im) pair and the plane axis is consumed.
+
+    ``atan2='poly'`` (planar only): polynomial atan2 (ops.demod.fast_atan2,
+    5.8e-7 rad max error) instead of jnp.arctan2 — the VPU fast path.
     """
 
-    def __init__(self, planar: bool = False):
+    def __init__(self, planar: bool = False, atan2: str = "exact"):
         self.planar = planar
+        self.atan2 = atan2
 
     def out_dtype(self, in_dtype):
         return jnp.float32
@@ -278,8 +304,10 @@ class FmDemod(StreamOp):
         return jnp.zeros(batch_shape, dtype=in_dtype)
 
     def apply(self, carry, x):
-        fn = demod.fm_demod_planar if self.planar else demod.fm_demod
-        y, last = fn(x, carry)
+        if self.planar:
+            y, last = demod.fm_demod_planar(x, carry, atan2=self.atan2)
+        else:
+            y, last = demod.fm_demod(x, carry)
         return last, y
 
     def shard_carry(self, x, axis_name, initial=None):

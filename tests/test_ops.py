@@ -132,6 +132,29 @@ def test_fm_demod_recovers_tone():
     assert np.abs(y - expect).max() < 1e-2
 
 
+def test_fast_atan2_all_quadrants(rng):
+    """Polynomial atan2 vs jnp.arctan2: 5.8e-7 rad bound over all four
+    quadrants, axes, and magnitude extremes; atan2(0, 0) = 0."""
+    b = rng.uniform(-10, 10, 4096).astype(np.float32)
+    a = rng.uniform(-10, 10, 4096).astype(np.float32)
+    got = np.asarray(ops.fast_atan2(b, a))
+    want = np.arctan2(b, a)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+    edges_b = np.array([0, 0, 1, -1, 0, 1e-30, 1e30], np.float32)
+    edges_a = np.array([1, -1, 0, 0, 0, 1e30, 1e-30], np.float32)
+    got = np.asarray(ops.fast_atan2(edges_b, edges_a))
+    want = np.arctan2(edges_b, edges_a)
+    want[4] = 0.0  # atan2(0,0): ours defines 0 (np does too)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_fm_demod_planar_poly_matches_exact(rng):
+    x = rng.normal(size=(2, 1024)).astype(np.float32)
+    ye, _ = ops.fm_demod_planar(jnp.asarray(x))
+    yp, _ = ops.fm_demod_planar(jnp.asarray(x), atan2="poly")
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(ye), atol=2e-6)
+
+
 def test_am_demod():
     x = np.array([3 + 4j, 1 + 0j], dtype=np.complex64)
     np.testing.assert_allclose(np.asarray(ops.am_demod(x)), [5, 1], atol=1e-6)

@@ -101,6 +101,25 @@ def test_pallas_u8_front_matches_xla_int8_path_exactly(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_pallas_u8_front_s8_matches_xla_s8_exactly(rng):
+    """Single-band 8-bit-tap kernel: bit-identical to the XLA s8 path,
+    and within the quantization bound of the float oracle."""
+    from sdr_tpu.kernels import u8_front_pallas
+    from sdr_tpu.ops.quantized import fir_decimate_u8_planar
+    raw = rng.integers(0, 256, 1 << 16).astype(np.uint8)
+    taps = rng.uniform(-1, 1, 51).astype(np.float32)
+    num = (raw.shape[0] // 2 - 51) // 8 + 1
+    got = np.asarray(u8_front_pallas(taps, 8, raw, interpret=True,
+                                     precision="s8"))
+    want = np.asarray(fir_decimate_u8_planar(taps, 8, raw, num,
+                                             precision="s8"))
+    np.testing.assert_array_equal(got, want)
+    # quantization bound: each tap off by <= half an s8 LSB, |x| < 1
+    bound = 51 * float(np.abs(taps).max()) / 254.0
+    np.testing.assert_allclose(got, _u8_front_oracle(taps, 8, raw, num),
+                               atol=bound * np.sqrt(2))
+
+
 def test_pallas_u8_front_rejects_wide_window():
     from sdr_tpu.kernels import u8_front_pallas
     taps = np.ones(200, dtype=np.float32)

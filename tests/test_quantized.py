@@ -33,6 +33,49 @@ def test_u8_front_matches_f32(rng, K, f, n):
     np.testing.assert_allclose(got[0] + 1j * got[1], ref, atol=1e-3)
 
 
+@pytest.mark.parametrize("K,f,n", [(51, 8, 1 << 14), (33, 4, 5000)])
+def test_u8_front_s8_precision(rng, K, f, n):
+    """Single-band 8-bit-tap mode: half the MXU work.  Per-output error
+    is bounded by the tap-quantization step: |err| <= K * max|tap| / 254
+    (each tap off by at most half an LSB, |x| < 1).  For normalized
+    real-filter taps (max|tap| ~ 0.2) that is ~2e-3 — inside the
+    reference's 0.01 differential bound; this test's uniform(-1,1) taps
+    are the worst case, so the bound scales with max|tap|."""
+    raw = rng.integers(0, 256, 2 * n).astype(np.uint8)
+    taps = rng.uniform(-1, 1, K).astype(np.float32)
+    num = (n - K) // f + 1
+    xc = convert.iq_u8_to_cfloat(jnp.asarray(raw))
+    ref = np.asarray(fir.fir_decimate(taps, f, xc, num, method="direct"))
+    got = np.asarray(fir_decimate_u8_planar(taps, f, jnp.asarray(raw), num,
+                                            precision="s8"))
+    bound = K * float(np.abs(taps).max()) / 254.0
+    err = np.abs(got[0] + 1j * got[1] - ref)
+    assert err.max() <= bound * np.sqrt(2), (err.max(), bound)
+    # RMS is ~sqrt(K/3)/2 LSBs — an order tighter than the worst case
+    assert np.sqrt((err ** 2).mean()) <= bound / 4
+
+
+def test_u8_frontend_seam_split_bit_exact(rng):
+    """Blockwise U8FrontEnd (the seam-split apply: boundary outputs from
+    a tiny carry+head array, main outputs from a view of x) is
+    BIT-IDENTICAL to the one-shot whole-stream computation with the 0x80
+    warmup history prepended — every output is the same integer dot."""
+    from sdr_tpu.apps.chains import fm_taps
+    block, B = 16384, 5
+    raw = rng.integers(0, 256, B * block).astype(np.uint8)
+    rf = fm_taps()[0]
+    for precision in ("s16", "s8"):
+        pq = Pipeline([U8FrontEnd(rf, 8, precision=precision)],
+                      block_in=block, in_dtype=jnp.uint8)
+        _, yq = pq.process(raw)
+        H = 2 * (rf.shape[0] - 8)
+        whole = np.concatenate([np.full(H, 0x80, np.uint8), raw])
+        want = fir_decimate_u8_planar(rf, 8, jnp.asarray(whole),
+                                      B * block // 2 // 8,
+                                      precision=precision)
+        np.testing.assert_array_equal(np.asarray(yq), np.asarray(want))
+
+
 def test_u8_front_batched_lead_dims(rng):
     raw = rng.integers(0, 256, (3, 2 * 4096)).astype(np.uint8)
     taps = rng.uniform(-1, 1, 31).astype(np.float32)
@@ -75,11 +118,14 @@ def test_quantized_fm_chain_parity():
     raw[1::2] = np.clip(np.round(iq.imag * 128 + 128), 0, 255)
     pe = Pipeline(fm_chain(method="conv"), block_in=163840,
                   in_dtype=jnp.uint8)
-    pq = Pipeline(fm_chain(method="conv", front="quantized"),
-                  block_in=163840, in_dtype=jnp.uint8)
     _, ye = pe.process(raw)
-    _, yq = pq.process(raw)
-    np.testing.assert_allclose(np.asarray(yq), np.asarray(ye), atol=1e-3)
+    for precision, atol in (("s16", 1e-3), ("s8", 8e-3)):
+        pq = Pipeline(fm_chain(method="conv", front="quantized",
+                               front_precision=precision),
+                      block_in=163840, in_dtype=jnp.uint8)
+        _, yq = pq.process(raw)
+        np.testing.assert_allclose(np.asarray(yq), np.asarray(ye),
+                                   atol=atol)
 
 
 def test_quantized_chain_time_batched(rng):
