@@ -29,15 +29,12 @@ def on_tpu() -> bool:
 
 
 def best_method(n_taps: int, factor: int = 1, num: int = 1 << 20) -> str:
-    """Pick an execution path for a strided FIR of this shape."""
-    if not on_tpu():
-        return "direct" if num < 4096 else "conv"
-    # TPU: conv lowering fuses with neighbors and wins for small/medium
-    # taps; the Pallas banded kernel wins once the band is dense enough to
-    # amortize its window loads (large taps, unit stride).
-    if factor == 1 and n_taps >= 256:
-        return "pallas"
-    return "conv"
+    """Pick an execution path for a strided FIR of this shape: the
+    argmax over the recorded benchmark matrix (utils/tuning.py), the
+    measured analog of the reference's CPUID dispatch."""
+    from sdr_tpu.utils import tuning
+    return tuning.best_method("tpu" if on_tpu() else "cpu",
+                              n_taps, factor, num)
 
 
 def feature_select(table, default: str = "conv") -> str:

@@ -71,6 +71,34 @@ def test_best_method_cpu():
     assert isinstance(device_kind(), str)
 
 
+def test_tuning_table_dispatch(tmp_path, monkeypatch):
+    """best_method = argmax over the measured rate table; the recorded
+    matrix says conv wins small taps on TPU and pallas wins large."""
+    from sdr_tpu.utils import tuning
+    assert tuning.best_method("tpu", 32) == "conv"
+    assert tuning.best_method("tpu", 512) == "pallas"
+    assert tuning.best_method("cpu", 32, num=100) == "direct"
+    # runtime override via SDR_TPU_TUNING_JSON
+    p = tmp_path / "t.json"
+    p.write_text('{"tpu": {"filter": {"direct": {"32": 9e99}}}}')
+    monkeypatch.setenv("SDR_TPU_TUNING_JSON", str(p))
+    assert tuning.best_method("tpu", 32) == "direct"
+
+
+def test_tuning_regenerate_cli(tmp_path, capsys):
+    """The refresh CLI parses a kernel matrix into the table schema."""
+    import json
+    from sdr_tpu.utils import tuning
+    m = {"filter_r_k128_conv": 1e9, "filter_r_k128_pallas": 2e9,
+         "decimate_r_k128_conv": 3e9, "u8_front_k51_d8_int8": 4e9}
+    p = tmp_path / "m.json"
+    p.write_text(json.dumps(m))
+    tuning._main(["tuning", str(p)])
+    out = json.loads(capsys.readouterr().out)
+    assert out["tpu"]["filter"]["pallas"]["128"] == 2e9
+    assert out["tpu"]["decimate"]["conv"]["128"] == 3e9
+
+
 def test_timed_and_trace(capsys):
     with timed("x"):
         pass
