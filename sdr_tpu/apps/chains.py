@@ -54,7 +54,9 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
     's16' (hi/lo split taps, ~2e-4) or 's8' (single 8-bit band — half
     the MXU work, ~2e-3, still 5x inside the differential bound).
     ``atan2='poly'``: polynomial demod atan2 (5.8e-7 rad; planar demod
-    only).
+    only).  ``front='fused'``: convert + decimate + demod in ONE Pallas
+    kernel (U8FrontDemod — the intermediate I/Q planes never touch HBM;
+    implies poly atan2).
     """
     rf, ars, afl = fm_taps()
     if front == "auto":
@@ -63,6 +65,9 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
     back = [Fir.resampler(ars, 3, 10, method=method),
             Fir.filter(afl, method=method),
             Scale(volume)]
+    if front == "fused":
+        from sdr_tpu.stream import U8FrontDemod
+        return [U8FrontDemod(rf, 8, precision=front_precision), *back]
     if front == "quantized":
         from sdr_tpu.stream import U8FrontEnd
         return [U8FrontEnd(rf, 8, precision=front_precision),

@@ -5,6 +5,7 @@ from sdr_tpu.stream.ops import (  # noqa: F401
     IqConvertU8,
     IqConvertI16,
     U8FrontEnd,
+    U8FrontDemod,
     Fir,
     FmDemod,
     AmDemod,

@@ -180,6 +180,98 @@ class U8FrontEnd(StreamOp):
         return substitute_first(h, initial, axis_name)
 
 
+class U8FrontDemod(StreamOp):
+    """Fully fused receive front: u8 IQ -> convert -> decimate -> FM
+    demod in ONE Pallas kernel (kernels/u8_front_demod_pallas.py) — the
+    decimated I/Q planes exist only in VMEM; the only HBM write is the
+    demod output.  Replaces the ``U8FrontEnd -> FmDemod(planar)`` pair
+    (reference convert.c + decimate.c + Demod.hs:20-28) with the same
+    samples to 6e-7 rad (polynomial atan2).
+
+    Carry: (trailing ``2*(K - f)`` raw bytes, last decimated (I, Q)
+    sample).  Both are derivable from raw bytes, so the time-shard halo
+    is a single ``2K``-byte ``ppermute``.
+    """
+
+    def __init__(self, taps, factor: int, precision: str = "s16",
+                 impl: str = "auto"):
+        self.taps = np.asarray(taps, dtype=np.float32)
+        self.factor = int(factor)
+        self.n_taps = self.taps.shape[0]
+        self.precision = precision
+        self.impl = impl
+
+    out_dtype = U8FrontEnd.out_dtype
+    out_len = U8FrontEnd.out_len
+
+    def map_batch_shape(self, batch_shape):
+        return batch_shape
+
+    def _hist_bytes(self, n_in=None):
+        return 2 * max(0, self.n_taps - self.factor)
+
+    def init_carry(self, n_in, in_dtype, batch_shape=()):
+        return (jnp.full(batch_shape + (self._hist_bytes(),), 0x80,
+                         dtype=jnp.uint8),
+                jnp.zeros(batch_shape + (2,), jnp.float32))
+
+    def _xla_fallback(self, hist, liq, x, n_out):
+        from sdr_tpu.ops.quantized import fir_decimate_u8_planar
+        from sdr_tpu.ops.demod import fm_demod_planar
+        xext = jnp.concatenate([hist, x], axis=-1)
+        iq = fir_decimate_u8_planar(self.taps, self.factor, xext, n_out,
+                                    precision=self.precision)
+        y, last = fm_demod_planar(iq, liq, atan2="poly")
+        H = hist.shape[-1]
+        new = xext[..., xext.shape[-1] - H:] if H else hist
+        return (new, last), y
+
+    def apply(self, carry, x):
+        from sdr_tpu.ops.quantized import fir_decimate_u8_planar
+        from sdr_tpu.ops.demod import fm_demod_planar
+        from sdr_tpu.kernels.u8_front_demod_pallas import (
+            u8_front_demod_pallas)
+        hist, liq = carry
+        n_out = self.out_len(x.shape[-1])
+        H = hist.shape[-1]
+        f2 = 2 * self.factor
+        use_kernel = (self.impl == "pallas"
+                      or (self.impl == "auto"
+                          and 2 * (self.n_taps - 1) + 2 - f2 <= 128
+                          and jax.default_backend() != "cpu"))
+        mb = -(-H // f2) if H else 0
+        seam_x = (mb - 1) * f2 + 2 * self.n_taps - H if mb else 0
+        if not (use_kernel and H and 0 < seam_x <= x.shape[-1]
+                and mb < n_out):
+            return self._xla_fallback(hist, liq, x, n_out)
+        # seam split (same algebra as U8FrontEnd.apply): boundary outputs
+        # via XLA on a tiny carry+head array, the rest in the fused kernel
+        # seeded with the boundary's final (I, Q) sample
+        xb = jnp.concatenate([hist, x[..., :seam_x]], axis=-1)
+        iq_b = fir_decimate_u8_planar(self.taps, self.factor, xb, mb,
+                                      precision=self.precision)
+        yb, last_b = fm_demod_planar(iq_b, liq, atan2="poly")
+        ym = u8_front_demod_pallas(self.taps, self.factor,
+                                   x[..., mb * f2 - H:], last_b,
+                                   n_out - mb, precision=self.precision)
+        # next-block carry: final decimated sample, recomputed from the
+        # final 2K raw bytes with the same integer plan (bit-exact)
+        liq_new = fir_decimate_u8_planar(
+            self.taps, self.factor, x[..., x.shape[-1] - 2 * self.n_taps:],
+            1, precision=self.precision)[..., 0]
+        return ((x[..., x.shape[-1] - H:], liq_new),
+                jnp.concatenate([yb, ym], -1))
+
+    def shard_carry(self, x, axis_name, initial=None):
+        from sdr_tpu.ops.quantized import fir_decimate_u8_planar
+        from sdr_tpu.parallel.halo import left_halo, substitute_first
+        halo = left_halo(x, 2 * self.n_taps, axis_name, fill=0x80)
+        hist = halo[..., halo.shape[-1] - self._hist_bytes():]
+        liq = fir_decimate_u8_planar(self.taps, self.factor, halo, 1,
+                                     precision=self.precision)[..., 0]
+        return substitute_first((hist, liq), initial, axis_name)
+
+
 class Fir(StreamOp):
     """Streaming FIR filter / decimator / rational resampler.
 

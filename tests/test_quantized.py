@@ -128,6 +128,45 @@ def test_quantized_fm_chain_parity():
                                    atol=atol)
 
 
+def test_fused_front_demod_stream_matches_pair(rng):
+    """Blockwise U8FrontDemod (one fused kernel) == U8FrontEnd ->
+    FmDemod(planar, poly) across block seams, in both the kernel path
+    (impl='pallas', interpret on CPU) and the XLA fallback."""
+    from sdr_tpu.stream import U8FrontDemod, FmDemod
+    from sdr_tpu.apps.chains import fm_taps
+    block, B = 16384, 5
+    raw = rng.integers(0, 256, B * block).astype(np.uint8)
+    rf = fm_taps()[0]
+    pp = Pipeline([U8FrontEnd(rf, 8), FmDemod(planar=True, atan2="poly")],
+                  block_in=block, in_dtype=jnp.uint8)
+    _, want = pp.process(raw)
+    for impl in ("pallas", "xla"):
+        pf = Pipeline([U8FrontDemod(rf, 8, impl=impl)], block_in=block,
+                      in_dtype=jnp.uint8)
+        _, got = pf.process(raw)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+
+def test_fused_front_demod_time_batched(rng):
+    """Block-parallel (vmap + halo ppermute) U8FrontDemod == its
+    sequential streamed run (exercises the 2K-byte shard_carry halo and
+    the derived last-sample seed)."""
+    from sdr_tpu.stream import U8FrontDemod
+    from sdr_tpu.apps.chains import fm_taps
+    from sdr_tpu import parallel
+    block, B = 16384, 4
+    raw = rng.integers(0, 256, B * block).astype(np.uint8)
+    rf = fm_taps()[0]
+    for impl in ("pallas", "xla"):
+        ops = [U8FrontDemod(rf, 8, impl=impl)]
+        p = Pipeline(ops, block_in=block, in_dtype=jnp.uint8)
+        _, seq = p.process(raw)
+        par = np.asarray(parallel.run_time_batched(ops, jnp.asarray(raw),
+                                                   B))
+        np.testing.assert_allclose(par, np.asarray(seq), atol=1e-5)
+
+
 def test_quantized_chain_time_batched(rng):
     """Block-parallel (vmap) execution of the quantized chain equals its
     sequential streamed run."""
