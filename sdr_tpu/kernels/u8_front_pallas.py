@@ -14,17 +14,29 @@ DMA'd to VMEM once, windows exist only as VMEM views, and the only HBM
 writes are the two planar f32 output planes.  Bound = max(int8-MXU time
 of the dense band, input+output bytes / HBM bandwidth).
 
-Layout (identical algebra to ops/quantized.py — see its docstring):
+Layout (identical algebra to ops/quantized.py — see its docstring),
+parameterized by Q = outputs per window row (``q_out``):
 
-* main rows   ``x2[p, s] = raw[p*stride + s]``, ``stride = 256 f``
-  (128 outputs per row, 2f bytes per output step);
+* main rows   ``x2[p, s] = raw[p*stride + s]``, ``stride = 2 f Q``
+  (Q outputs per row, 2f bytes per output step);
 * halo        ``x2h[p, j] = raw[(p+1)*stride + j]``, j < 128 — the last
   ``W - stride = 2(K-1) + 2 - 2f`` window bytes of row p live at the
   start of row p+1, so the window matrix never needs to exist:
   ``y[p] = X2[p] @ B  =  x2[p] @ B[:stride] + x2h[p] @ B[stride:]``;
-* band        ``B[2f q + 2k + c, 128 c + q] = T16[k]`` split into s8
+* band        ``B[2f q + 2k + c, c Q + q] = T16[k]`` split into s8
   hi/lo so ``acc = 256 (X @ Bhi) + X @ Blo`` accumulates the exact
   integer correlation with 16-bit-quantized taps in s32.
+
+Q trades MXU work for output-lane fill: the dense band costs
+``4 f Q + 2 halo`` MACs per complex output, linear in Q, while the dot's
+N dimension is ``2 Q`` — so Q=64 (the TPU default) halves the MXU work
+of Q=128 and still fills all 128 output lanes (64 I + 64 Q columns).
+
+Zero-copy operands: when the raw block is stride-aligned (the pipeline's
+block sizes are chosen so it is), the main-row matrix is a pure reshape
+of the input buffer — the 100s-of-MB input is never copied, only DMA'd
+to VMEM by the kernel itself; the halo matrix is a small strided gather
+(LANE/stride of the input).  Unaligned calls fall back to a padded copy.
 
 Requires ``2(K - 1) + 2 - 2f <= 128`` (taps K <= f + 64); the FM chain's
 51-tap decimate-by-8 front end fits with room to spare.
@@ -45,69 +57,53 @@ from sdr_tpu.ops.quantized import u8_front_plan
 __all__ = ["u8_front_pallas"]
 
 LANE = 128
-ROWS = 512          # output rows per grid step (ROWS*128 complex outputs)
+Q_DEFAULT = 64      # outputs per window row (see module docstring)
+ROWS = 512          # max output rows per grid step
 
 
-def _kernel(scale: float, xm_ref, xh_ref, bhi_ref, blo_ref,
-            oi_ref, oq_ref):
-    """xm_ref: [ROWS, stride] u8 main rows; xh_ref: [ROWS, 128] u8 halo;
-    bhi/blo_ref: [stride + 128, 256] s8 band; oi/oq_ref: [ROWS, 128] f32.
-    """
-    stride = xm_ref.shape[1]
-    xm = pltpu.bitcast(xm_ref[:] ^ jnp.uint8(0x80), jnp.int8)
-    xh = pltpu.bitcast(xh_ref[:] ^ jnp.uint8(0x80), jnp.int8)
-    hi = (jnp.dot(xm, bhi_ref[:stride, :],
-                  preferred_element_type=jnp.int32)
-          + jnp.dot(xh, bhi_ref[stride:, :],
-                    preferred_element_type=jnp.int32))
-    lo = (jnp.dot(xm, blo_ref[:stride, :],
-                  preferred_element_type=jnp.int32)
-          + jnp.dot(xh, blo_ref[stride:, :],
-                    preferred_element_type=jnp.int32))
-    y = (hi * 256 + lo).astype(jnp.float32) * jnp.float32(scale)
-    oi_ref[:] = y[:, :LANE]
-    oq_ref[:] = y[:, LANE:]
+def geometry(n_b: int, stride: int, num: int, q_out: int):
+    """(rows, tile, aligned): total window rows, grid tile size, and
+    whether the zero-copy aligned layout applies for an ``n_b``-byte
+    buffer producing ``num`` outputs."""
+    P = -(-num // q_out)
+    if n_b % stride == 0 and 0 <= n_b // stride - P <= 64:
+        rows = n_b // stride
+        for tile in (ROWS, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+            if rows % tile == 0:
+                return rows, tile, True
+    tile = min(ROWS, max(8, P))
+    return -(-P // tile) * tile, tile, False
 
 
-def _kernel_s8(scale: float, xm_ref, xh_ref, b_ref, oi_ref, oq_ref):
-    """Single-band variant (8-bit taps): one dot pair instead of two —
-    half the MXU work of the s16 hi/lo kernel."""
-    stride = xm_ref.shape[1]
-    xm = pltpu.bitcast(xm_ref[:] ^ jnp.uint8(0x80), jnp.int8)
-    xh = pltpu.bitcast(xh_ref[:] ^ jnp.uint8(0x80), jnp.int8)
-    acc = (jnp.dot(xm, b_ref[:stride, :],
-                   preferred_element_type=jnp.int32)
-           + jnp.dot(xh, b_ref[stride:, :],
-                     preferred_element_type=jnp.int32))
-    y = acc.astype(jnp.float32) * jnp.float32(scale)
-    oi_ref[:] = y[:, :LANE]
-    oq_ref[:] = y[:, LANE:]
+def build_views(raw, stride: int, rows: int, aligned: bool):
+    """xm [rows, stride] main rows + xh [rows, LANE] halo rows.
 
-
-def _u8_front_1d(taps_np: np.ndarray, factor: int, raw, num: int,
-                 interpret: bool, precision: str = "s16"):
-    """raw: [bytes] u8 -> [2, num] planar f32."""
-    K, f = taps_np.shape[0], factor
-    W, stride, scale, Bhi, Blo = u8_front_plan(taps_np, f, precision)
-    halo_w = W - stride
-    if halo_w > LANE:
-        raise ValueError(
-            f"{K} taps at factor {f}: window tail {halo_w} exceeds the "
-            f"{LANE}-byte halo (need K <= f + {LANE // 2})")
-
-    P = -(-num // LANE)                 # output rows
-    Pt = -(-P // ROWS)                  # grid steps
-    rows = Pt * ROWS
-    need = (rows + 1) * stride          # +1 row backs the last halo
-    n_b = raw.shape[-1]
-    if n_b < need:
-        # warmup/pad byte is 0x80 = the stream's zero sample
-        raw = jnp.pad(raw, (0, need - n_b), constant_values=0x80)
+    Aligned: xm is a bitcast reshape (no copy of the input); xh is a
+    small strided gather whose final row is 0x80 (the u8 stream's zero
+    sample) — it only feeds window tails of outputs past ``num``, which
+    the caller discards.  Unaligned: 0x80-pad then reshape (copies)."""
+    if aligned:
+        xm = raw.reshape(rows, stride)
+        xh0 = (raw[stride:].reshape(rows - 1, stride)[:, :LANE]
+               if rows > 1 else
+               jnp.zeros((0, LANE), jnp.uint8))
+        xh = jnp.concatenate(
+            [xh0, jnp.full((1, LANE), 0x80, jnp.uint8)], axis=0)
+        return xm, xh
+    need = (rows + 1) * stride
+    if raw.shape[-1] < need:
+        raw = jnp.pad(raw, (0, need - raw.shape[-1]),
+                      constant_values=0x80)
     xm = raw[: rows * stride].reshape(rows, stride)
     xh = raw[stride: stride + rows * stride].reshape(rows, stride)[:, :LANE]
+    return xm, xh
 
-    # band padded to a 128-row halo block (zero rows beyond W)
-    Bp = np.zeros((stride + LANE, 2 * LANE), dtype=np.int8)
+
+def build_bands(Bhi, Blo, stride: int):
+    """Band matrices zero-padded to a 128-row halo block, plus their
+    (resident) BlockSpec."""
+    W, n_cols = Bhi.shape
+    Bp = np.zeros((stride + LANE, n_cols), dtype=np.int8)
     Bh = Bp.copy()
     Bh[:W] = Bhi
     bands = [jnp.asarray(Bh)]
@@ -115,38 +111,88 @@ def _u8_front_1d(taps_np: np.ndarray, factor: int, raw, num: int,
         Bl = Bp.copy()
         Bl[:W] = Blo
         bands.append(jnp.asarray(Bl))
-    band_spec = pl.BlockSpec((stride + LANE, 2 * LANE), lambda p: (0, 0),
-                             memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((stride + LANE, n_cols), lambda p: (0, 0),
+                        memory_space=pltpu.VMEM)
+    return bands, spec
+
+
+def band_acc(xm_ref, xh_ref, bhi_ref, blo_ref):
+    """The shared front-end integer algebra: s32 accumulator of the
+    16-bit (hi/lo) or 8-bit (hi only) quantized correlation."""
+    stride = xm_ref.shape[1]
+    xm = pltpu.bitcast(xm_ref[:] ^ jnp.uint8(0x80), jnp.int8)
+    xh = pltpu.bitcast(xh_ref[:] ^ jnp.uint8(0x80), jnp.int8)
+    acc = (jnp.dot(xm, bhi_ref[:stride, :],
+                   preferred_element_type=jnp.int32)
+           + jnp.dot(xh, bhi_ref[stride:, :],
+                     preferred_element_type=jnp.int32))
+    if blo_ref is not None:
+        lo = (jnp.dot(xm, blo_ref[:stride, :],
+                      preferred_element_type=jnp.int32)
+              + jnp.dot(xh, blo_ref[stride:, :],
+                        preferred_element_type=jnp.int32))
+        acc = acc * 256 + lo
+    return acc
+
+
+def _kernel(scale: float, two_band: bool, q_out: int, xm_ref, xh_ref,
+            *refs):
+    if two_band:
+        bhi_ref, blo_ref, oi_ref, oq_ref = refs
+    else:
+        (bhi_ref, oi_ref, oq_ref), blo_ref = refs, None
+    y = (band_acc(xm_ref, xh_ref, bhi_ref, blo_ref)
+         .astype(jnp.float32) * jnp.float32(scale))
+    oi_ref[:] = y[:, :q_out]
+    oq_ref[:] = y[:, q_out:]
+
+
+def _u8_front_1d(taps_np: np.ndarray, factor: int, raw, num: int,
+                 interpret: bool, precision: str = "s16",
+                 q_out: int = Q_DEFAULT, byte_off: int = 0):
+    """raw: [bytes] u8 -> [2, num] planar f32."""
+    K, f = taps_np.shape[0], factor
+    W, stride, scale, Bhi, Blo = u8_front_plan(taps_np, f, precision,
+                                               q_out, byte_off)
+    halo_w = W - stride
+    if halo_w > LANE:
+        raise ValueError(
+            f"{K} taps at factor {f} (+{byte_off} offset): window tail "
+            f"{halo_w} exceeds the {LANE}-byte halo")
+
+    rows, tile, aligned = geometry(raw.shape[-1], stride, num, q_out)
+    xm, xh = build_views(raw, stride, rows, aligned)
+    bands, band_spec = build_bands(Bhi, Blo, stride)
 
     oi, oq = pl.pallas_call(
-        functools.partial(_kernel if Blo is not None else _kernel_s8,
-                          scale),
-        grid=(Pt,),
+        functools.partial(_kernel, scale, Blo is not None, q_out),
+        grid=(rows // tile,),
         in_specs=[
-            pl.BlockSpec((ROWS, stride), lambda p: (p, 0),
+            pl.BlockSpec((tile, stride), lambda p: (p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, LANE), lambda p: (p, 0),
+            pl.BlockSpec((tile, LANE), lambda p: (p, 0),
                          memory_space=pltpu.VMEM),
         ] + [band_spec] * len(bands),
         out_specs=[
-            pl.BlockSpec((ROWS, LANE), lambda p: (p, 0),
+            pl.BlockSpec((tile, q_out), lambda p: (p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROWS, LANE), lambda p: (p, 0),
+            pl.BlockSpec((tile, q_out), lambda p: (p, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((rows, q_out), jnp.float32),
+            jax.ShapeDtypeStruct((rows, q_out), jnp.float32),
         ],
         interpret=interpret,
     )(xm, xh, *bands)
-    y = jnp.stack([oi.reshape(rows * LANE)[:num],
-                   oq.reshape(rows * LANE)[:num]])
+    y = jnp.stack([oi.reshape(rows * q_out)[:num],
+                   oq.reshape(rows * q_out)[:num]])
     return y
 
 
 def u8_front_pallas(taps, factor: int, raw, num: int = None, *,
-                    interpret: bool | None = None, precision: str = "s16"):
+                    interpret: bool | None = None, precision: str = "s16",
+                    q_out: int = Q_DEFAULT, byte_off: int = 0):
     """Fused interleaved-u8-IQ convert + decimate as a Pallas kernel.
 
     Drop-in for ``ops.quantized.fir_decimate_u8_planar``:
@@ -154,15 +200,20 @@ def u8_front_pallas(taps, factor: int, raw, num: int = None, *,
     ``y[m] = sum_k taps[k] (raw[2(m f + k) + c] - 128) / 128`` per
     component c, taps 16-bit-quantized (identical numerics — same plan)
     or 8-bit with ``precision='s8'`` (one band: half the MXU work).
+    ``q_out`` picks the band geometry (outputs per window row); any value
+    yields bit-identical outputs — it only moves the MXU/lane tradeoff.
+    ``byte_off`` statically shifts every window that many bytes into
+    ``raw`` (absorbed into the band — the buffer itself stays unsliced).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     taps_np = np.asarray(taps, dtype=np.float32)
     K, f = taps_np.shape[0], int(factor)
-    n = raw.shape[-1] // 2
+    n = (raw.shape[-1] - byte_off) // 2
     num = int((n - K) // f + 1 if num is None else num)
     fn = functools.partial(_u8_front_1d, taps_np, f, num=num,
-                           interpret=interpret, precision=precision)
+                           interpret=interpret, precision=precision,
+                           q_out=q_out, byte_off=byte_off)
     lead = raw.shape[:-1]
     if lead:
         flat = raw.reshape((-1, raw.shape[-1]))

@@ -43,7 +43,7 @@ LANE = 128
 
 @functools.lru_cache(maxsize=32)
 def _plan(taps_bytes: bytes, n_taps: int, factor: int,
-          precision: str = "s16"):
+          precision: str = "s16", q_out: int = LANE, byte_off: int = 0):
     """Host-side banded-matrix construction (cached per (taps, factor)).
 
     ``precision='s16'``: taps quantized to 16 bits, band split into hi/lo
@@ -51,20 +51,35 @@ def _plan(taps_bytes: bytes, n_taps: int, factor: int,
     quantized straight to 8 bits, ONE band (half the MXU work,
     ~2e-3 abs — still 5x inside the reference's 0.01 differential bound);
     the lo matrix is returned as None.
+
+    ``q_out``: outputs per window row (band has ``2*q_out`` columns =
+    I then Q halves).  The band's dense MAC cost per complex output is
+    ``(2*f*q_out + halo) * 2*q_out / q_out = 4*f*q_out + 2*halo`` —
+    LINEAR in q_out, so narrower rows cost less MXU time as long as the
+    column count ``2*q_out`` still fills the 128 output lanes:
+    ``q_out=64`` halves the dense band per output vs 128 at full lane
+    width (the Pallas kernels' default on TPU).
+
+    ``byte_off``: static shift of every window by that many input bytes —
+    the band simply gets ``byte_off`` leading zero rows.  This lets a
+    streaming caller whose history is not a whole number of output steps
+    keep the big buffer UNSLICED (zero-copy) and absorb the sub-step
+    offset into the plan.
     """
     taps = np.frombuffer(taps_bytes, dtype=np.float32)
     K, f = n_taps, factor
-    W = (LANE - 1) * 2 * f + 2 * (K - 1) + 2   # window bytes per tile row
-    stride = LANE * 2 * f                       # row start stride in bytes
+    # window bytes per tile row
+    W = byte_off + (q_out - 1) * 2 * f + 2 * (K - 1) + 2
+    stride = q_out * 2 * f                      # row start stride in bytes
     maxabs = float(np.abs(taps).max()) or 1.0
     qmax = 127.0 if precision == "s8" else 32512.0
     Tq = np.round(taps / maxabs * qmax).astype(np.int32)
     scale = maxabs / qmax / 128.0
-    B = np.zeros((W, 2 * LANE), dtype=np.int32)
-    for q in range(LANE):
-        base = 2 * f * q
-        B[base: base + 2 * K: 2, q] = Tq            # I plane columns
-        B[base + 1: base + 2 * K: 2, LANE + q] = Tq  # Q plane columns
+    B = np.zeros((W, 2 * q_out), dtype=np.int32)
+    for q in range(q_out):
+        base = byte_off + 2 * f * q
+        B[base: base + 2 * K: 2, q] = Tq             # I plane columns
+        B[base + 1: base + 2 * K: 2, q_out + q] = Tq  # Q plane columns
     if precision == "s8":
         return W, stride, scale, B.astype(np.int8), None
     # split B = 256*hi + lo with lo in [-128, 127]: floor((B+128)/256)
@@ -77,16 +92,19 @@ def _plan(taps_bytes: bytes, n_taps: int, factor: int,
     return W, stride, scale, Bhi32.astype(np.int8), Blo32.astype(np.int8)
 
 
-def u8_front_plan(taps, factor: int, precision: str = "s16"):
+def u8_front_plan(taps, factor: int, precision: str = "s16",
+                  q_out: int = LANE, byte_off: int = 0):
     """Expose the static plan (window width, row stride, scale, hi/lo
     banded s8 matrices; lo is None for precision='s8') — used by apply
     and by tests."""
     taps = np.asarray(taps, dtype=np.float32)
-    return _plan(taps.tobytes(), taps.shape[0], int(factor), precision)
+    return _plan(taps.tobytes(), taps.shape[0], int(factor), precision,
+                 int(q_out), int(byte_off))
 
 
 def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
-                           impl: str = "xla", precision: str = "s16"):
+                           impl: str = "xla", precision: str = "s16",
+                           byte_off: int = 0):
     """Interleaved u8 IQ ``[..., 2n]`` -> decimated planar f32
     ``[..., 2, num]`` in one fused step (convert + K-tap decimate-by-f).
 
@@ -100,17 +118,24 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
     ``impl``: 'xla' (this module's window-materializing formulation),
     'pallas' (kernels/u8_front_pallas.py — same plan, windows stay in
     VMEM, bit-identical output), or 'auto' (pallas on TPU when the
-    window tail fits its halo, else xla).
+    window tail fits its halo, else xla).  ``byte_off`` statically shifts
+    every window by that many bytes into ``raw`` (zero-copy streaming
+    seams; see u8_front_plan).
     """
     if impl != "xla":
         taps_a = np.asarray(taps, dtype=np.float32)
         K, f = taps_a.shape[0], int(factor)
-        fits = 2 * (K - 1) + 2 - 2 * f <= LANE
+        fits = byte_off + 2 * (K - 1) + 2 - 2 * f <= LANE
         if impl == "pallas" or (impl == "auto" and fits and
                                 jax.default_backend() != "cpu"):
             from sdr_tpu.kernels.u8_front_pallas import u8_front_pallas
             return u8_front_pallas(taps, factor, raw, num,
-                                   precision=precision)
+                                   precision=precision,
+                                   byte_off=byte_off)
+    if byte_off:
+        # the XLA path materializes its window matrix anyway; fold the
+        # offset into a plain slice
+        raw = raw[..., byte_off:]
     taps = np.asarray(taps, dtype=np.float32)
     K, f = taps.shape[0], int(factor)
     n = raw.shape[-1] // 2

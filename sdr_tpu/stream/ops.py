@@ -161,10 +161,13 @@ class U8FrontEnd(StreamOp):
             yb = fir_decimate_u8_planar(self.taps, self.factor, xb, mb,
                                         impl="xla",
                                         precision=self.precision)
-            ym = fir_decimate_u8_planar(self.taps, self.factor,
-                                        x[..., mb * f2 - H:],
+            # main outputs from the WHOLE block: the sub-step seam offset
+            # is absorbed into the plan (byte_off), so the kernel operand
+            # is x itself — never a sliced/padded copy
+            ym = fir_decimate_u8_planar(self.taps, self.factor, x,
                                         n_out - mb, impl=self.impl,
-                                        precision=self.precision)
+                                        precision=self.precision,
+                                        byte_off=mb * f2 - H)
             return x[..., x.shape[-1] - H:], jnp.concatenate([yb, ym], -1)
         xext = jnp.concatenate([carry, x], axis=-1)
         y = fir_decimate_u8_planar(self.taps, self.factor, xext, n_out,
@@ -235,25 +238,28 @@ class U8FrontDemod(StreamOp):
         n_out = self.out_len(x.shape[-1])
         H = hist.shape[-1]
         f2 = 2 * self.factor
+        mb = -(-H // f2) if H else 0
+        off = mb * f2 - H if mb else 0
         use_kernel = (self.impl == "pallas"
                       or (self.impl == "auto"
-                          and 2 * (self.n_taps - 1) + 2 - f2 <= 128
+                          and off + 2 * (self.n_taps - 1) + 2 - f2 <= 128
                           and jax.default_backend() != "cpu"))
-        mb = -(-H // f2) if H else 0
         seam_x = (mb - 1) * f2 + 2 * self.n_taps - H if mb else 0
         if not (use_kernel and H and 0 < seam_x <= x.shape[-1]
                 and mb < n_out):
             return self._xla_fallback(hist, liq, x, n_out)
         # seam split (same algebra as U8FrontEnd.apply): boundary outputs
         # via XLA on a tiny carry+head array, the rest in the fused kernel
-        # seeded with the boundary's final (I, Q) sample
+        # seeded with the boundary's final (I, Q) sample.  The kernel gets
+        # the WHOLE block (sub-step offset absorbed into the band plan) —
+        # zero-copy operand.
         xb = jnp.concatenate([hist, x[..., :seam_x]], axis=-1)
         iq_b = fir_decimate_u8_planar(self.taps, self.factor, xb, mb,
                                       precision=self.precision)
         yb, last_b = fm_demod_planar(iq_b, liq, atan2="poly")
-        ym = u8_front_demod_pallas(self.taps, self.factor,
-                                   x[..., mb * f2 - H:], last_b,
-                                   n_out - mb, precision=self.precision)
+        ym = u8_front_demod_pallas(self.taps, self.factor, x, last_b,
+                                   n_out - mb, precision=self.precision,
+                                   byte_off=off)
         # next-block carry: final decimated sample, recomputed from the
         # final 2K raw bytes with the same integer plan (bit-exact)
         liq_new = fir_decimate_u8_planar(
