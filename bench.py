@@ -53,10 +53,12 @@ HEADLINE_CONFIG = {
     "block_u8": 10_485_760,
     "timing": ("8 chain repetitions unrolled INSIDE one program "
                "(perturbed inputs, scalar fold); 10 s sustained-load "
-               "warm-up, then min of 10 runs / 8; NO null-RPC "
-               "subtraction (the ~3 ms RPC is <3% of a ~100 ms dispatch, "
-               "and subtracting a spiked null measurement inflated past "
-               "records 2-3x)"),
+               "warm-up, then min over a 240 s continuous sampling "
+               "window (the shared device is bimodal on a minutes "
+               "scale — a long window finds the fast mode "
+               "reproducibly); NO null-RPC subtraction (the ~3 ms RPC "
+               "is <3% of a ~100 ms dispatch, and subtracting a spiked "
+               "null measurement inflated past records 2-3x)"),
 }
 
 _T0 = time.time()
@@ -90,7 +92,7 @@ def null_rpc_time(iters: int = 5) -> float:
 
 def bench_chain_batched(method: str = "conv", front: str = "quantized",
                         block: int = 10_485_760, nblocks: int = 32,
-                        iters: int = 8, runs: int = 10,
+                        iters: int = 8, sample_s: float = 240.0,
                         warmup_s: float = 10.0):
     """The canonical headline measurement (HEADLINE_CONFIG).
 
@@ -133,13 +135,25 @@ def bench_chain_batched(method: str = "conv", front: str = "quantized",
     # NO null-RPC subtraction: the ~3 ms round-trip is <3% of a ~100 ms
     # region, while subtracting a spiked null measurement (tunnel hiccup
     # during null_rpc_time) inflated earlier records 2-3x.
+    #
+    # The shared device is BIMODAL on a minutes scale (same cached
+    # executable measured 45% apart in adjacent windows, stable +-3%
+    # within one); a tight burst of runs samples only one window and the
+    # min() becomes a window lottery (round 1's 3.2x spread).  Sample
+    # continuously for ``sample_s`` seconds instead so the measurement
+    # spans several windows and min() reliably finds the fast one.
     ts = []
-    for _ in range(runs):
+    end = time.perf_counter() + sample_s
+    while time.perf_counter() < end:
         t0 = time.perf_counter()
         _sync(g(xb))
         ts.append((time.perf_counter() - t0) / iters)
     rate = (nblocks * block // 2) / max(min(ts), 1e-9)
-    return rate, ts
+    ts_sorted = sorted(ts)
+    summary = {"n": len(ts), "min": ts_sorted[0],
+               "p10": ts_sorted[len(ts) // 10],
+               "p50": ts_sorted[len(ts) // 2], "max": ts_sorted[-1]}
+    return rate, summary
 
 
 def bench_chain_stream(method: str = "conv", front: str = "quantized",
@@ -292,6 +306,24 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32, iters: int = 8,
     case("audio_fir_k64",
          lambda i, x: fir.fir_filter(afl, x + i.astype(jnp.float32) * 1e-30,
                                      n_r, method="conv"), total, (xr,))
+
+    # attach static hardware floors (utils/roofline.py) so every
+    # measured stage carries its distance-from-light-speed
+    from sdr_tpu.apps.chains import fm_chain
+    from sdr_tpu.utils.roofline import chain_roofline
+    rl = chain_roofline(fm_chain(method="conv", front="quantized"),
+                        block, batch=nblocks)
+    stage_of = {"front_int8_fused": 0, "demod_planar": 1,
+                "resample_3_10_k31": 2, "audio_fir_k64": 3}
+    for name, idx in stage_of.items():
+        if name in out and "sec" in out[name]:
+            fl = rl["stages"][idx]["floor_s"]
+            out[name]["floor_sec"] = fl
+            out[name]["pct_of_floor"] = 100.0 * fl / out[name]["sec"]
+            out[name]["bound_by"] = rl["stages"][idx]["bound_by"]
+    out["roofline"] = rl
+    with open(dump, "w") as fh:
+        json.dump(out, fh, indent=2)
     return out
 
 

@@ -7,3 +7,9 @@ from sdr_tpu.utils.device import (  # noqa: F401
     feature_select,
 )
 from sdr_tpu.utils.profiling import trace, profile, timed  # noqa: F401
+from sdr_tpu.utils.roofline import (  # noqa: F401
+    chain_roofline,
+    stage_costs,
+    Ceilings,
+    MEASURED_CEILINGS,
+)
