@@ -194,7 +194,7 @@ def bench_chain_stream(method: str = "conv", front: str = "quantized",
     return (block // 2) / dt
 
 
-def _time_jit(fn, iters=10, operands=()):
+def _time_jit(fn, iters=10, operands=(), runs=4):
     """Per-iteration device time of ``fn`` with the iteration loop INSIDE
     the compiled program (python-unrolled, summed into one scalar).
 
@@ -206,50 +206,80 @@ def _time_jit(fn, iters=10, operands=()):
     CSE the copies, and a scalar of every output folds into the result so
     none can be dead-coded.
 
+    SELF-CALIBRATING: the loop is compiled at ``iters`` AND ``2*iters``
+    and the per-iteration time is the DIFFERENCE divided by ``iters``.
+    Subtracting the two runs cancels every constant cost — RPC
+    round-trip, result transfer, dispatch — exactly, where the old
+    null-RPC subtraction both under- and over-corrected (it produced
+    physically impossible stage rates for microsecond ops in the round-2
+    record).  If the 2x program is not measurably slower the measurement
+    is overhead-dominated even at 2x; raise ValueError rather than
+    record noise.
+
     Pass large input arrays via ``operands`` (forwarded to
     ``fn(i, *operands)``) rather than closing over them: a closed-over
     array is embedded in the program as a CONSTANT, and a 335 MB constant
     blows the tunnel's remote-compile request limit (HTTP 413) whenever
     the persistent cache misses.
     """
-    def looped(*ops_):
-        acc = jnp.float32(0)
-        for i in range(iters):
-            # (acc * 0) makes iteration i's INPUT depend on i-1's output:
-            # XLA must run them serially and can reuse intermediate
-            # buffers (8 independent copies of a 335 MB front-end case
-            # otherwise OOM), and overlap can't inflate the rate.
-            y = fn(jnp.int32(i) + (acc * 0).astype(jnp.int32), *ops_)
-            first = jax.tree.leaves(y)[0]
-            red = jnp.mean(jnp.abs(first)) if jnp.iscomplexobj(first) \
-                else jnp.mean(first)
-            acc = acc + red.astype(jnp.float32) * 1e-6
-        return acc[None]
+    def make(n):
+        def looped(*ops_):
+            acc = jnp.float32(0)
+            for i in range(n):
+                # (acc * 0) makes iteration i's INPUT depend on i-1's
+                # output: XLA must run them serially and can reuse
+                # intermediate buffers (independent copies of a 335 MB
+                # front-end case otherwise OOM), and overlap can't
+                # inflate the rate.
+                y = fn(jnp.int32(i) + (acc * 0).astype(jnp.int32), *ops_)
+                first = jax.tree.leaves(y)[0]
+                red = jnp.mean(jnp.abs(first)) if jnp.iscomplexobj(first) \
+                    else jnp.mean(first)
+                acc = acc + red.astype(jnp.float32) * 1e-6
+            return acc[None]
+        return jax.jit(looped)
 
-    g = jax.jit(looped)
-    _sync(g(*operands))
-    null = null_rpc_time()
-    best = None
-    for _ in range(3):
+    g1, g2 = make(iters), make(2 * iters)
+    _sync(g1(*operands))
+    _sync(g2(*operands))
+    best1 = best2 = None
+    for _ in range(runs):
         t0 = time.perf_counter()
-        _sync(g(*operands))
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    # cap the RPC correction: a spiked null measurement must not inflate
-    # the rate (it corrupted round-1 records 2-3x)
-    return max(best - min(null, 0.25 * best), 1e-9) / iters
+        _sync(g1(*operands))
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(g2(*operands))
+        d2 = time.perf_counter() - t0
+        best1 = d1 if best1 is None else min(best1, d1)
+        best2 = d2 if best2 is None else min(best2, d2)
+    if best2 < best1 * 1.15:
+        raise ValueError(
+            f"overhead-dominated: {iters} iters {best1*1e3:.2f} ms vs "
+            f"{2*iters} iters {best2*1e3:.2f} ms — raise iters")
+    return (best2 - best1) / iters
 
 
-def bench_stages(block: int = 10_485_760, nblocks: int = 32, iters: int = 8,
+def bench_stages(block: int = 10_485_760, nblocks: int = 32,
                  dump: str = "bench_stages.json", deadline: float = None):
     """Per-stage cost of the batched FM chain at its REAL in-pipeline
     shapes (the roofline input: VERDICT r1 weak #5).  Rates are complex
     input samples/sec equivalents so stages are directly comparable to the
-    chain headline; seconds-per-dispatch are recorded too."""
-    from sdr_tpu.apps.chains import fm_taps
+    chain headline; seconds-per-dispatch are recorded too.
+
+    Iteration counts are set per stage from the stage's static hardware
+    floor (utils/roofline.py) so cheap stages get enough in-program
+    repetitions for the calibrated difference in _time_jit to resolve."""
+    from sdr_tpu.apps.chains import fm_taps, fm_chain
     from sdr_tpu.ops import fir, demod
     from sdr_tpu.ops.quantized import fir_decimate_u8_planar
     from sdr_tpu.ops import convert
+    from sdr_tpu.utils.roofline import chain_roofline
+
+    rl = chain_roofline(fm_chain(method="conv", front="quantized"),
+                        block, batch=nblocks)
+
+    def iters_for(floor_s: float) -> int:
+        return int(min(64, max(8, 0.02 // max(floor_s, 1e-6) + 1)))
 
     rf, ars, afl = fm_taps()
     rng = np.random.default_rng(0)
@@ -268,14 +298,20 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32, iters: int = 8,
 
     out = {}
 
-    def case(name, fn, in_complex_samples, operands):
+    def case(name, fn, in_complex_samples, operands, stage_idx=None):
         if deadline is not None and time.time() > deadline:
             print(f"bench_stages: deadline before {name}", file=sys.stderr)
             return
+        stage = rl["stages"][stage_idx] if stage_idx is not None else None
+        fl = stage["floor_s"] if stage else 0.02
         try:
-            dt = _time_jit(fn, iters, operands=operands)
+            dt = _time_jit(fn, iters_for(fl), operands=operands)
             out[name] = {"sec": dt,
                          "gsps_equiv": in_complex_samples / dt / 1e9}
+            if stage:
+                out[name]["floor_sec"] = fl
+                out[name]["pct_of_floor"] = 100.0 * fl / dt
+                out[name]["bound_by"] = stage["bound_by"]
         except Exception as e:  # noqa: BLE001
             print(f"{name}: {str(e)[:160]}", file=sys.stderr)
             out[name] = {"error": str(e)[:200]}
@@ -285,7 +321,8 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32, iters: int = 8,
     total = nblocks * n_c
     case("front_int8_fused",
          lambda i, r: fir_decimate_u8_planar(rf, 8, r + i.astype(jnp.uint8),
-                                             n_d), total, (raw,))
+                                             n_d, impl="auto"),
+         total, (raw,), stage_idx=0)
     case("front_exact_convert",
          lambda i, r: convert.iq_u8_to_planar(r + i.astype(jnp.uint8)),
          total, (raw,))
@@ -297,37 +334,28 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32, iters: int = 8,
     case("demod_planar",
          lambda i, x: demod.fm_demod_planar(
              x + i.astype(jnp.float32) * 1e-30,
-             jnp.zeros((nblocks, 2), jnp.float32))[0], total, (xp,))
+             jnp.zeros((nblocks, 2), jnp.float32))[0], total, (xp,),
+         stage_idx=1)
     case("resample_3_10_k31",
          lambda i, x: fir.fir_resample(ars, 3, 10,
                                        x + i.astype(jnp.float32) * 1e-30,
                                        0, (n_d + 64) * 3 // 10,
-                                       method="conv")[0], total, (xd,))
+                                       method="conv")[0], total, (xd,),
+         stage_idx=2)
     case("audio_fir_k64",
          lambda i, x: fir.fir_filter(afl, x + i.astype(jnp.float32) * 1e-30,
-                                     n_r, method="conv"), total, (xr,))
+                                     n_r, method="conv"), total, (xr,),
+         stage_idx=3)
 
-    # attach static hardware floors (utils/roofline.py) so every
-    # measured stage carries its distance-from-light-speed
-    from sdr_tpu.apps.chains import fm_chain
-    from sdr_tpu.utils.roofline import chain_roofline
-    rl = chain_roofline(fm_chain(method="conv", front="quantized"),
-                        block, batch=nblocks)
-    stage_of = {"front_int8_fused": 0, "demod_planar": 1,
-                "resample_3_10_k31": 2, "audio_fir_k64": 3}
-    for name, idx in stage_of.items():
-        if name in out and "sec" in out[name]:
-            fl = rl["stages"][idx]["floor_s"]
-            out[name]["floor_sec"] = fl
-            out[name]["pct_of_floor"] = 100.0 * fl / out[name]["sec"]
-            out[name]["bound_by"] = rl["stages"][idx]["bound_by"]
+    # the full chain roofline rides along so every recorded stage can be
+    # read against its hardware floor
     out["roofline"] = rl
     with open(dump, "w") as fh:
         json.dump(out, fh, indent=2)
     return out
 
 
-def bench_kernels(block: int = 1 << 20, iters: int = 10, dump: str = None,
+def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
                   deadline: float = None):
     """Per-kernel microbenchmarks — the Criterion variant matrix analog
     (benchmarks/Benchmarks.hs:79-156: {filter, decimate, resample} x
@@ -337,25 +365,27 @@ def bench_kernels(block: int = 1 << 20, iters: int = 10, dump: str = None,
     out = {}
     rng = np.random.default_rng(0)
     from sdr_tpu.utils import from_host
+    # operands passed as jit ARGUMENTS, never closures (a closed-over
+    # array becomes a program constant: bloats the persistent cache and
+    # can blow the tunnel's remote-compile request limit)
     x0 = jnp.asarray(rng.uniform(-1, 1, block).astype(np.float32))
     # complex test vector assembled ON device (complex h2d transfers are
     # unimplemented on the axon runtime and poison the process)
     xc0 = from_host((rng.uniform(-1, 1, block)
                      + 1j * rng.uniform(-1, 1, block)).astype(np.complex64))
-    raw = jnp.asarray(rng.integers(0, 256, block, dtype=np.uint8))
+    # the u8 front end is far faster per element — give it 4x the bytes
+    # so its calibrated difference region stays well above jitter
+    raw = jnp.asarray(rng.integers(0, 256, 4 * block, dtype=np.uint8))
 
-    def perturb(i):  # defeat loop hoisting; numerically negligible
-        return x0 + i.astype(jnp.float32) * 1e-30
+    def pr(i, x):  # defeat loop hoisting; numerically negligible
+        return x + i.astype(x.dtype) * 1e-30
 
-    def perturbc(i):
-        return xc0 + i.astype(jnp.complex64) * 1e-30
-
-    def case(name, fn):
+    def case(name, fn, operands, n=block):
         if deadline is not None and time.time() > deadline:
             print(f"bench_kernels: deadline before {name}", file=sys.stderr)
             return
         try:
-            out[name] = block / _time_jit(fn, iters)
+            out[name] = n / _time_jit(fn, iters, operands=operands)
         except Exception as e:  # noqa: BLE001
             print(f"{name}: {str(e)[:160]}", file=sys.stderr)
         if dump:  # incremental: a later hang/timeout keeps earlier results
@@ -367,26 +397,30 @@ def bench_kernels(block: int = 1 << 20, iters: int = 10, dump: str = None,
     # not the coverage (VERDICT r1 missing #3)
     from sdr_tpu.ops.quantized import fir_decimate_u8_planar
     taps51 = rng.uniform(-1, 1, 51).astype(np.float32)
-    case("u8_front_k51_d8_int8",
-         lambda i: fir_decimate_u8_planar(
-             taps51, 8, raw + i.astype(jnp.uint8),
-             (block // 2 - 51) // 8 + 1))
+    taps31 = rng.uniform(-1, 1, 31).astype(np.float32)
     taps128 = rng.uniform(-1, 1, 128).astype(np.float32)
+    nb = 4 * block
+    case("u8_front_k51_d8_int8",
+         lambda i, r: fir_decimate_u8_planar(
+             taps51, 8, r + i.astype(jnp.uint8),
+             (nb // 2 - 51) // 8 + 1, impl="auto"), (raw,), n=nb)
     case("resample_r_3_4",
-         lambda i: fir.fir_resample(taps128, 3, 4, perturb(i))[0])
+         lambda i, x: fir.fir_resample(taps128, 3, 4, pr(i, x))[0], (x0,))
     case("resample_c_3_4",
-         lambda i: fir.fir_resample(taps128, 3, 4, perturbc(i))[0])
+         lambda i, x: fir.fir_resample(taps128, 3, 4, pr(i, x))[0], (xc0,))
     case("resample_r_3_10_k31",
-         lambda i: fir.fir_resample(
-             rng.uniform(-1, 1, 31).astype(np.float32), 3, 10, perturb(i))[0])
+         lambda i, x: fir.fir_resample(taps31, 3, 10, pr(i, x))[0], (x0,))
     case("convert_u8",
-         lambda i: jnp.abs(convert.iq_u8_to_cfloat(raw + i.astype(jnp.uint8))))
+         lambda i, r: jnp.abs(convert.iq_u8_to_cfloat(
+             r + i.astype(jnp.uint8))), (raw,), n=nb)
     case("convert_u8_planar",
-         lambda i: convert.iq_u8_to_planar(raw + i.astype(jnp.uint8)))
-    case("scale", lambda i: convert.scale(0.3, perturb(i)))
+         lambda i, r: convert.iq_u8_to_planar(r + i.astype(jnp.uint8)),
+         (raw,), n=nb)
+    case("scale", lambda i, x: convert.scale(0.3, pr(i, x)), (x0,))
     case("fft_1024_batch",
-         lambda i: jnp.abs(fftops.fft(perturbc(i).reshape(-1, 1024))))
-    case("dc_blocker", lambda i: scans.dc_blocker(perturb(i))[0])
+         lambda i, x: jnp.abs(fftops.fft(pr(i, x).reshape(-1, 1024))),
+         (xc0,))
+    case("dc_blocker", lambda i, x: scans.dc_blocker(pr(i, x))[0], (x0,))
     # variant matrix: {filter, decimate} x {real, complex} x methods
     methods = ("conv", "direct", "pallas")
     for ntaps in (32, 128, 512):
@@ -395,18 +429,18 @@ def bench_kernels(block: int = 1 << 20, iters: int = 10, dump: str = None,
             if method == "direct" and ntaps > 32:
                 continue  # [num, K] im2col at this size is pathological
             case(f"filter_r_k{ntaps}_{method}",
-                 lambda i, m=method, t=taps, k=ntaps: fir.fir_filter(
-                     t, perturb(i), block - k + 1, method=m))
+                 lambda i, x, m=method, t=taps, k=ntaps: fir.fir_filter(
+                     t, pr(i, x), block - k + 1, method=m), (x0,))
     for method in ("conv", "pallas"):
         case(f"decimate_r_k128_{method}",
-             lambda i, m=method: fir.fir_decimate(
-                 taps128, 4, perturb(i), (block - 128) // 4, method=m))
+             lambda i, x, m=method: fir.fir_decimate(
+                 taps128, 4, pr(i, x), (block - 128) // 4, method=m), (x0,))
         case(f"filter_c_k128_{method}",
-             lambda i, m=method: fir.fir_decimate(
-                 taps128, 1, perturbc(i), block - 127, method=m))
+             lambda i, x, m=method: fir.fir_decimate(
+                 taps128, 1, pr(i, x), block - 127, method=m), (xc0,))
         case(f"decimate_r_k51_d8_{method}",
-             lambda i, m=method: fir.fir_decimate(
-                 taps51, 8, perturb(i), (block - 51) // 8, method=m))
+             lambda i, x, m=method: fir.fir_decimate(
+                 taps51, 8, pr(i, x), (block - 51) // 8, method=m), (x0,))
     return out
 
 
