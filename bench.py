@@ -336,6 +336,11 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32,
              x + i.astype(jnp.float32) * 1e-30,
              jnp.zeros((nblocks, 2), jnp.float32))[0], total, (xp,),
          stage_idx=1)
+    case("demod_planar_poly",
+         lambda i, x: demod.fm_demod_planar(
+             x + i.astype(jnp.float32) * 1e-30,
+             jnp.zeros((nblocks, 2), jnp.float32), atan2="poly")[0],
+         total, (xp,), stage_idx=1)
     case("resample_3_10_k31",
          lambda i, x: fir.fir_resample(ars, 3, 10,
                                        x + i.astype(jnp.float32) * 1e-30,

@@ -117,32 +117,33 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
 
     ``impl``: 'xla' (this module's window-materializing formulation),
     'pallas' (kernels/u8_front_pallas.py — same plan, windows stay in
-    VMEM, bit-identical output), or 'auto' (pallas on TPU when the
-    window tail fits its halo, else xla).  ``byte_off`` statically shifts
-    every window by that many bytes into ``raw`` (zero-copy streaming
-    seams; see u8_front_plan).
+    VMEM, bit-identical output), or 'auto' = 'xla'.  Auto prefers the
+    XLA formulation because it MEASURES faster despite the extra HBM
+    round-trip of the window matrix: a same-window A/B on the target
+    chip (r2) put it at 12.2 ms vs 15.3-17.2 ms for the Pallas kernel
+    across every band geometry Q in {32,64,128} x {s8,s16} — and the
+    near-identical Pallas times across 4x MXU-work variation show the
+    kernel is grid/DMA-bound, not MXU-bound, so the VMEM-resident
+    windows don't pay for their scheduling cost here.  ``byte_off``
+    statically shifts every window by that many bytes into ``raw``
+    (zero-copy streaming seams; see u8_front_plan).
     """
-    if impl != "xla":
-        taps_a = np.asarray(taps, dtype=np.float32)
-        K, f = taps_a.shape[0], int(factor)
-        fits = byte_off + 2 * (K - 1) + 2 - 2 * f <= LANE
-        if impl == "pallas" or (impl == "auto" and fits and
-                                jax.default_backend() != "cpu"):
-            from sdr_tpu.kernels.u8_front_pallas import u8_front_pallas
-            return u8_front_pallas(taps, factor, raw, num,
-                                   precision=precision,
-                                   byte_off=byte_off)
-    if byte_off:
-        # the XLA path materializes its window matrix anyway; fold the
-        # offset into a plain slice
-        raw = raw[..., byte_off:]
+    if impl == "pallas":
+        from sdr_tpu.kernels.u8_front_pallas import u8_front_pallas
+        return u8_front_pallas(taps, factor, raw, num,
+                               precision=precision,
+                               byte_off=byte_off)
     taps = np.asarray(taps, dtype=np.float32)
     K, f = taps.shape[0], int(factor)
-    n = raw.shape[-1] // 2
+    n = (raw.shape[-1] - byte_off) // 2
     if num is None:
         num = (n - K) // f + 1
     num = int(num)
-    W, stride, scale, Bhi, Blo = u8_front_plan(taps, f, precision)
+    # the sub-step offset is absorbed into the band as leading zero rows
+    # (u8_front_plan byte_off) — slicing the buffer instead would COPY
+    # the whole block every seam-split streaming step
+    W, stride, scale, Bhi, Blo = u8_front_plan(taps, f, precision,
+                                               byte_off=byte_off)
     P = -(-num // LANE)
     need = (P - 1) * stride + W
     if need > raw.shape[-1]:
