@@ -196,35 +196,38 @@ def _gather_windows(x, starts: np.ndarray, length: int, starts_dev=None):
     return jnp.take(x, idx, axis=-1)
 
 
-def _fir_direct(taps_dev, x, num: int, factor: int):
+def _fir_direct(taps_dev, x, num: int, factor: int, start: int = 0):
     """Gather-einsum path: works for any stride; reference semantics
-    out[m] = sum_j taps[j] * x[m*factor + j]  (decimate.c:16-24)."""
+    out[m] = sum_j taps[j] * x[start + m*factor + j]  (decimate.c:16-24)."""
     K = taps_dev.shape[0]
-    starts = np.arange(num, dtype=np.int64) * factor
-    starts_dev = jnp.arange(num, dtype=jnp.int32) * factor
+    starts = np.arange(num, dtype=np.int64) * factor + start
+    starts_dev = jnp.arange(num, dtype=jnp.int32) * factor + start
     W = _gather_windows(x, starts, K, starts_dev)  # [..., num, K]
     return jnp.einsum("...mk,k->...m", W, taps_dev,
                       preferred_element_type=jnp.float32)
 
 
-def _fir_conv(taps_dev, x, num: int, factor: int):
+def _fir_conv(taps_dev, x, num: int, factor: int, start: int = 0):
     """lax.conv_general_dilated path (XLA's native TPU conv -> MXU).
 
     ConvGeneralDilated computes cross-correlation (no kernel flip), which is
     exactly the reference's orientation (filter.c:16-24).
+
+    ``start`` (a static input origin) is folded in as NEGATIVE low
+    padding, and over-long inputs are handled by computing extra outputs
+    and truncating — the buffer is never sliced, because a slice feeding
+    a conv materializes a full copy of the (potentially 100s-of-MB)
+    input in HBM, while negative padding and output truncation are free.
     """
     K = taps_dev.shape[0]
-    need = (num - 1) * factor + K
+    need = start + (num - 1) * factor + K
     n = x.shape[-1]
-    if need > n:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - n)])
-    else:
-        x = x[..., :need]
+    hi = max(0, need - n)
     lead = x.shape[:-1]
     xb = x.reshape((-1, 1, x.shape[-1]))           # [B, C=1, N]
     w = taps_dev.reshape((1, 1, K))                # [O=1, I=1, K]
     y = jax.lax.conv_general_dilated(
-        xb, w, window_strides=(factor,), padding="VALID",
+        xb, w, window_strides=(factor,), padding=[(-start, hi)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32)
     return y.reshape(lead + (-1,))[..., :num]
@@ -240,15 +243,18 @@ def _pick_method(method: str, num: int, factor: int, n_taps: int) -> str:
     return best_method(n_taps, factor, num)
 
 
-def _dispatch(taps_np: np.ndarray, x, num: int, factor: int, method: str):
+def _dispatch(taps_np: np.ndarray, x, num: int, factor: int, method: str,
+              start: int = 0):
     method = _pick_method(method, num, factor, taps_np.shape[0])
     xr, rebuild = _as_real_batch(x)
     if method == "direct":
-        y = _fir_direct(jnp.asarray(taps_np), xr, num, factor)
+        y = _fir_direct(jnp.asarray(taps_np), xr, num, factor, start)
     elif method == "conv":
-        y = _fir_conv(jnp.asarray(taps_np), xr, num, factor)
+        y = _fir_conv(jnp.asarray(taps_np), xr, num, factor, start)
     elif method == "pallas":
         from sdr_tpu.kernels import fir_pallas
+        if start:  # the kernel has no origin parameter; explicit slice
+            xr = xr[..., start:]
         y = fir_pallas.fir_strided(taps_np, xr, num, factor)
     else:
         raise ValueError(f"unknown method {method!r}")
@@ -259,38 +265,42 @@ def _dispatch(taps_np: np.ndarray, x, num: int, factor: int, method: str):
 # Public ops (reference kernel parity surface).
 # ---------------------------------------------------------------------------
 
-def fir_filter(taps, x, num: Optional[int] = None, method: str = "auto"):
+def fir_filter(taps, x, num: Optional[int] = None, method: str = "auto",
+               start: int = 0):
     """Sliding dot product, reference ``filterRR``/``filterRC``
-    (c_sources/filter.c:16,74):  y[i] = sum_j taps[j] * x[..., i+j].
+    (c_sources/filter.c:16,74):  y[i] = sum_j taps[j] * x[..., start+i+j].
 
     ``num`` defaults to the full valid length ``N - K + 1``.  Real taps;
     ``x`` may be real or complex (complex handled as a 2-row real batch,
-    like the interleaved re/im layout of filter.c:74-84).
+    like the interleaved re/im layout of filter.c:74-84).  ``start`` is a
+    static input origin folded into the kernel (zero-copy — equivalent to
+    calling on ``x[..., start:]`` without the slice's HBM copy).
     """
     taps_np = np.asarray(taps, dtype=np.float32)
     if num is None:
-        num = x.shape[-1] - taps_np.shape[0] + 1
+        num = x.shape[-1] - start - taps_np.shape[0] + 1
     if num < 0:
         raise ValueError("input shorter than filter")
-    return _dispatch(taps_np, x, int(num), 1, method)
+    return _dispatch(taps_np, x, int(num), 1, method, int(start))
 
 
 def fir_decimate(taps, factor: int, x, num: Optional[int] = None,
-                 method: str = "auto"):
+                 method: str = "auto", start: int = 0):
     """Strided sliding dot product, reference ``decimateRR``/``decimateRC``
-    (c_sources/decimate.c:16,73):  y[i] = sum_j taps[j] * x[..., i*factor+j].
+    (c_sources/decimate.c:16,73):
+    y[i] = sum_j taps[j] * x[..., start + i*factor + j].
     """
     taps_np = np.asarray(taps, dtype=np.float32)
     if num is None:
-        num = (x.shape[-1] - taps_np.shape[0]) // factor + 1
+        num = (x.shape[-1] - start - taps_np.shape[0]) // factor + 1
     if num < 0:
         raise ValueError("input shorter than filter")
-    return _dispatch(taps_np, x, int(num), int(factor), method)
+    return _dispatch(taps_np, x, int(num), int(factor), method, int(start))
 
 
 def fir_resample(taps, interpolation: int, decimation: int, x,
                  offset: int = 0, num: Optional[int] = None,
-                 method: str = "auto"):
+                 method: str = "auto", start: int = 0):
     """Polyphase rational resampler, reference ``resampleRR``/``resample2RR``
     (c_sources/resample.c:16-48) and ``resampleHighLevel``
     (FilterInternal.hs:252-265).
@@ -303,22 +313,26 @@ def fir_resample(taps, interpolation: int, decimation: int, x,
     window starting at i_m with coefficient-phase row o_m.  Outputs with
     equal phase form arithmetic input sequences, so the whole op is a
     static gather + phase-table contraction — no sequential recurrence.
+
+    ``start``: static input origin (output m reads
+    ``x[..., start + i_m + k]``), folded into the kernel zero-copy.
     """
     taps_np = np.asarray(taps, dtype=np.float32)
     I, D = int(interpolation), int(decimation)
     K = taps_np.shape[0]
     offset = int(offset)
+    start = int(start)
     if not (0 <= offset < I):
         raise ValueError("offset must be in [0, interpolation)")
     if num is None:
-        num = resample_output_count(x.shape[-1], K, I, D, offset)
+        num = resample_output_count(x.shape[-1] - start, K, I, D, offset)
     num = int(num)
     end_offset = resample_end_offset(num, I, D, offset)
     if num == 0:
         shape = x.shape[:-1] + (0,)
         return jnp.zeros(shape, x.dtype), end_offset
     if I == 1:
-        y = _dispatch(taps_np, x, num, D, method)
+        y = _dispatch(taps_np, x, num, D, method, start)
         return y, 0
 
     method = _pick_method(method, num, D, taps_np.shape[0])
@@ -331,19 +345,20 @@ def fir_resample(taps, interpolation: int, decimation: int, x,
         # embedding [num]-sized tables as constants bloats compile payloads
         t_dev = jnp.arange(num, dtype=jnp.int32) * D - offset
         o_dev = jnp.mod(-t_dev, I)
-        i_dev = (t_dev + o_dev) // I
+        i_dev = (t_dev + o_dev) // I + start
         xr, rebuild = _as_real_batch(x)
-        W = _gather_windows(xr, i_m.astype(np.int64), Kp, i_dev)
+        W = _gather_windows(xr, i_m.astype(np.int64) + start, Kp, i_dev)
         rows = jnp.take(jnp.asarray(table), o_dev, axis=0)  # [num, Kp]
         y = jnp.einsum("...mk,mk->...m", W, rows,
                        preferred_element_type=jnp.float32)
         return rebuild(y), end_offset
     xr, rebuild = _as_real_batch(x)
-    return rebuild(_resample_conv(taps_np, I, D, xr, offset, num)), end_offset
+    return (rebuild(_resample_conv(taps_np, I, D, xr, offset, num, start)),
+            end_offset)
 
 
 def _resample_conv(taps_np: np.ndarray, I: int, D: int, x, offset: int,
-                   num: int):
+                   num: int, start: int = 0):
     """Gather-free polyphase resampler: ONE strided conv with I output
     channels.
 
@@ -373,16 +388,19 @@ def _resample_conv(taps_np: np.ndarray, I: int, D: int, x, offset: int,
         s = int(i_j[j]) - i_min
         Kmat[j, 0, s: s + Kp] = table[int(o_j[j])]
     Q = -(-num // I)                                   # outputs per phase
-    need = i_min + (Q - 1) * D + L
+    lo = i_min + start                                 # conv input origin
+    need = lo + (Q - 1) * D + L
     n = x.shape[-1]
-    if need > n:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - n)])
-    x = x[..., i_min:need]
+    # origin folded in as negative low padding, short input padded high —
+    # the buffer itself is never sliced (a slice feeding a conv
+    # materializes a full HBM copy of the input)
     lead = x.shape[:-1]
     xb = x.reshape((-1, 1, x.shape[-1]))               # [B, 1, N']
     y = jax.lax.conv_general_dilated(
-        xb, jnp.asarray(Kmat), window_strides=(D,), padding="VALID",
+        xb, jnp.asarray(Kmat), window_strides=(D,),
+        padding=[(-lo, max(0, need - n))],
         dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)            # [B, I, Q]
+        preferred_element_type=jnp.float32)            # [B, I, >=Q]
+    y = y[..., :Q]
     y = jnp.swapaxes(y, -1, -2).reshape(lead + (Q * I,))
     return y[..., :num]

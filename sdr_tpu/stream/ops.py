@@ -351,21 +351,78 @@ class Fir(StreamOp):
         H = self.hist_len(n_in)
         return jnp.zeros(batch_shape + (H,), dtype=in_dtype)
 
+    def _seam_plan(self, H: int, n_in: int, n_out: int):
+        """(mb, seam_x, main_offset, main_start) for the seam split, or
+        None when the split doesn't apply (no history, everything reads
+        history, or taps longer than the block).
+
+        ``mb`` outputs read history bytes; they are computed from a tiny
+        ``concat(hist, x[:seam_x])`` buffer.  The remaining outputs read
+        only ``x`` starting at ``main_start`` with phase ``main_offset``
+        — derived by rebasing the closed form t_m = m*D - offset at
+        m = mb (the affine phase recurrence makes the rebase exact).
+        """
+        if H == 0:
+            return None
+        I, D, K = (self.spec.interpolation, self.spec.decimation,
+                   self.spec.n_taps)
+        if I == 1:
+            mb = -(-H // D)
+            seam_x = (mb - 1) * D + K - H
+            main_offset, rebase = 0, mb * D - H
+        else:
+            # closed-form positions of the first few outputs (only those
+            # can read history: i_m grows ~D/I per output)
+            bound = min(n_out, int((H * I + self.offset) // D) + 2)
+            m = np.arange(bound + 1, dtype=np.int64)
+            t = m * D - self.offset
+            o = (-t) % I
+            i = (t + o) // I
+            mb = int(np.searchsorted(i, H))
+            if mb == 0:
+                return None
+            ktaps = -(-(K - o[:mb]) // I)
+            seam_x = int((i[:mb] + ktaps - 1).max()) - H + 1
+            t0 = mb * D - self.offset
+            a, b = divmod(t0, I)
+            main_offset = (I - b) % I
+            rebase = a + (1 if b else 0) - H
+        if (not (0 < seam_x <= n_in) or mb >= n_out or rebase < 0
+                or H > n_in):
+            return None
+        return mb, seam_x, main_offset, rebase
+
+    def _run(self, x, n_out: int, offset: int, start: int = 0):
+        I, D = self.spec.interpolation, self.spec.decimation
+        if I == 1 and D == 1:
+            return fir.fir_filter(self.spec.taps, x, n_out,
+                                  method=self.method, start=start)
+        if I == 1:
+            return fir.fir_decimate(self.spec.taps, D, x, n_out,
+                                    method=self.method, start=start)
+        y, _ = fir.fir_resample(self.spec.taps, I, D, x, offset, n_out,
+                                method=self.method, start=start)
+        return y
+
     def apply(self, carry, x):
         n_in = x.shape[-1]
         n_out = self._check(n_in)
-        xext = jnp.concatenate([carry, x], axis=-1)
-        I, D = self.spec.interpolation, self.spec.decimation
-        if I == 1 and D == 1:
-            y = fir.fir_filter(self.spec.taps, xext, n_out,
-                               method=self.method)
-        elif I == 1:
-            y = fir.fir_decimate(self.spec.taps, D, xext, n_out,
-                                 method=self.method)
-        else:
-            y, _ = fir.fir_resample(self.spec.taps, I, D, xext,
-                                    self.offset, n_out, method=self.method)
         H = carry.shape[-1]
+        plan = self._seam_plan(H, n_in, n_out)
+        if plan is not None:
+            # Seam split: concat(hist, block) would copy the WHOLE block
+            # through HBM every step (the dominant cost of the cheap
+            # back-half stages).  Only the first mb outputs read history;
+            # compute them from a tiny seam buffer and the rest straight
+            # from x with the origin folded into the kernel (zero-copy).
+            mb, seam_x, main_offset, main_start = plan
+            seam = jnp.concatenate([carry, x[..., :seam_x]], axis=-1)
+            yb = self._run(seam, mb, self.offset)
+            ym = self._run(x, n_out - mb, main_offset, start=main_start)
+            new_hist = x[..., n_in - H:]
+            return new_hist, jnp.concatenate([yb, ym], axis=-1)
+        xext = jnp.concatenate([carry, x], axis=-1)
+        y = self._run(xext, n_out, self.offset)
         new_hist = xext[..., xext.shape[-1] - H:] if H else carry
         return new_hist, y
 

@@ -185,3 +185,58 @@ def test_batched_leading_dims(rng):
         assert y.shape == (4, 3, num)
         np.testing.assert_allclose(
             y[2, 1], filter_oracle(taps, x[2, 1], num), atol=TOL)
+
+
+def test_start_origin_equals_slice(rng):
+    """``start`` (the zero-copy input origin) must equal slicing for every
+    kernel family and method."""
+    x = rng.uniform(-1, 1, 4096).astype(np.float32)
+    taps = rand_real(rng, 51)
+    s = 37
+    for method in METHODS:
+        a = np.asarray(fir.fir_filter(taps, x, 256, method=method, start=s))
+        b = np.asarray(fir.fir_filter(taps, x[s:], 256, method=method))
+        np.testing.assert_allclose(a, b, atol=TOL)
+        a = np.asarray(fir.fir_decimate(taps, 8, x, 64, method=method,
+                                        start=s))
+        b = np.asarray(fir.fir_decimate(taps, 8, x[s:], 64, method=method))
+        np.testing.assert_allclose(a, b, atol=TOL)
+    for method in ("direct", "conv"):
+        a, ea = fir.fir_resample(taps, 3, 10, x, 2, 128, method=method,
+                                 start=s)
+        b, eb = fir.fir_resample(taps, 3, 10, x[s:], 2, 128, method=method)
+        assert ea == eb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=TOL)
+
+
+@pytest.mark.parametrize("interp,decim,ntaps", [(1, 1, 64), (1, 8, 51),
+                                                (3, 10, 31), (7, 4, 93)])
+def test_fir_seam_split_matches_concat(rng, interp, decim, ntaps):
+    """Fir.apply's zero-copy seam split must produce the same samples as
+    the naive concat(hist, block) form, for every op family and a
+    nonzero resampler start phase."""
+    from sdr_tpu.stream import Fir
+    import jax.numpy as jnp
+    taps = rand_real(rng, ntaps)
+    n_in = 80 * decim  # satisfies n_in*I % D == 0 for all cases, > taps
+    if interp == 1:
+        op = (Fir.filter(taps) if decim == 1
+              else Fir.decimator(taps, decim))
+    else:
+        op = Fir.resampler(taps, interp, decim, offset=2 % interp)
+    x0 = jnp.asarray(rng.uniform(-1, 1, n_in).astype(np.float32))
+    x1 = jnp.asarray(rng.uniform(-1, 1, n_in).astype(np.float32))
+    c = op.init_carry(n_in, jnp.float32)
+    H = c.shape[-1]
+    c, y0 = op.apply(c, x0)
+    assert op._seam_plan(H, n_in, op.out_len(n_in)) is not None or H == 0
+    c2, y1 = op.apply(c, x1)
+    # oracle: the plain concat form
+    xext = jnp.concatenate([jnp.concatenate([op.init_carry(n_in, jnp.float32),
+                                             x0], -1)[..., -H:] if H else
+                            jnp.zeros((0,), jnp.float32), x1], -1)
+    y_ref = op._run(xext, op.out_len(n_in), op.offset)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y_ref), atol=TOL)
+    if H:
+        np.testing.assert_array_equal(np.asarray(c2),
+                                      np.asarray(x1[..., n_in - H:]))
