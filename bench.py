@@ -194,6 +194,29 @@ def bench_chain_stream(method: str = "conv", front: str = "quantized",
     return (block // 2) / dt
 
 
+def bench_channelizer(n_channels: int = 64, n: int = 4_096_000,
+                      iters: int = 8):
+    """Secondary: the wideband polyphase-channelizer bank (BASELINE
+    config #5) — one complex wideband stream split into ``n_channels``
+    basebands, each FM-demodulated (the reference's '64 independent FM
+    chains' run as one batched program instead of 64 OS threads).
+    Rate = wideband complex input samples/sec (calibrated _time_jit)."""
+    from sdr_tpu.apps.chains import channelizer_chain
+    from sdr_tpu.parallel.sharded import time_sharded_fn
+    from sdr_tpu.utils import from_host
+
+    ops = channelizer_chain(n_channels, method="conv", wideband=True)
+    fn = time_sharded_fn(ops, axis_name="b")
+    rng = np.random.default_rng(0)
+    x = from_host((rng.uniform(-1, 1, (2, n))
+                   + 1j * rng.uniform(-1, 1, (2, n))).astype(np.complex64))
+    dt = _time_jit(
+        lambda i, xb: jax.vmap(fn, axis_name="b")(
+            xb + i.astype(jnp.complex64) * 1e-30),
+        iters, operands=(x,))
+    return 2 * n / dt
+
+
 def _time_jit(fn, iters=10, operands=(), runs=4):
     """Per-iteration device time of ``fn`` with the iteration loop INSIDE
     the compiled program (python-unrolled, summed into one scalar).
@@ -525,6 +548,13 @@ def main():
         "fm_chain_stream", timeout=1700, attempts=1)
     if stream is not None:
         results["fm_chain_stream"] = stream
+
+    chan = _subproc(
+        "import json, bench; "
+        "print(json.dumps(bench.bench_channelizer()))",
+        "channelizer_64ch", timeout=1700, attempts=1)
+    if chan is not None:
+        results["channelizer_64ch_wideband"] = chan
 
     # 3. per-stage breakdown (roofline input)
     deadline = _T0 + _BUDGET - 60
