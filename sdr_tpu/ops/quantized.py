@@ -104,7 +104,7 @@ def u8_front_plan(taps, factor: int, precision: str = "s16",
 
 def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
                            impl: str = "xla", precision: str = "s16",
-                           byte_off: int = 0):
+                           byte_off: int = 0, q_out: int = LANE):
     """Interleaved u8 IQ ``[..., 2n]`` -> decimated planar f32
     ``[..., 2, num]`` in one fused step (convert + K-tap decimate-by-f).
 
@@ -126,7 +126,11 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
     kernel is grid/DMA-bound, not MXU-bound, so the VMEM-resident
     windows don't pay for their scheduling cost here.  ``byte_off``
     statically shifts every window by that many bytes into ``raw``
-    (zero-copy streaming seams; see u8_front_plan).
+    (zero-copy streaming seams; see u8_front_plan).  ``q_out`` picks the
+    band geometry (outputs per window row) — any value yields identical
+    samples; the dense band's MXU cost is linear in q_out while the
+    output-lane fill needs ``2*q_out`` >= 128, so q_out=64 halves the
+    matmul work of the full-width 128 where the op is MXU-bound.
     """
     if impl == "pallas":
         from sdr_tpu.kernels.u8_front_pallas import u8_front_pallas
@@ -135,16 +139,22 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
                                byte_off=byte_off)
     taps = np.asarray(taps, dtype=np.float32)
     K, f = taps.shape[0], int(factor)
+    q_out = int(q_out)
     n = (raw.shape[-1] - byte_off) // 2
     if num is None:
         num = (n - K) // f + 1
     num = int(num)
+    # the halo (window tail past the row stride) must fit within one row
+    # for the shifted-reshape construction; bump q_out for long filters
+    while 2 * f * q_out < byte_off + 2 * (K - 1) + 2 - 2 * f:
+        q_out *= 2
     # the sub-step offset is absorbed into the band as leading zero rows
     # (u8_front_plan byte_off) — slicing the buffer instead would COPY
     # the whole block every seam-split streaming step
     W, stride, scale, Bhi, Blo = u8_front_plan(taps, f, precision,
+                                               q_out=q_out,
                                                byte_off=byte_off)
-    P = -(-num // LANE)
+    P = -(-num // q_out)
     need = (P - 1) * stride + W
     if need > raw.shape[-1]:
         raw = jnp.pad(raw, [(0, 0)] * (raw.ndim - 1)
@@ -169,7 +179,7 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
                                    preferred_element_type=jnp.int32) * 256
                + jax.lax.dot_general(X2s, jnp.asarray(Blo), cdims,
                                      preferred_element_type=jnp.int32))
-    y = acc.astype(jnp.float32) * jnp.float32(scale)     # [..., P, 2*LANE]
-    yi = y[..., :LANE].reshape(lead + (P * LANE,))[..., :num]
-    yq = y[..., LANE:].reshape(lead + (P * LANE,))[..., :num]
+    y = acc.astype(jnp.float32) * jnp.float32(scale)   # [..., P, 2*q_out]
+    yi = y[..., :q_out].reshape(lead + (P * q_out,))[..., :num]
+    yq = y[..., q_out:].reshape(lead + (P * q_out,))[..., :num]
     return jnp.stack([yi, yq], axis=-2)

@@ -111,12 +111,13 @@ class U8FrontEnd(StreamOp):
     """
 
     def __init__(self, taps, factor: int, impl: str = "auto",
-                 precision: str = "s16"):
+                 precision: str = "s16", q_out: int = 128):
         self.taps = np.asarray(taps, dtype=np.float32)
         self.factor = int(factor)
         self.n_taps = self.taps.shape[0]
         self.impl = impl
         self.precision = precision
+        self.q_out = int(q_out)
 
     def out_len(self, n_in):
         if n_in % 2:
@@ -160,19 +161,22 @@ class U8FrontEnd(StreamOp):
             xb = jnp.concatenate([carry, x[..., :seam_x]], axis=-1)
             yb = fir_decimate_u8_planar(self.taps, self.factor, xb, mb,
                                         impl="xla",
-                                        precision=self.precision)
+                                        precision=self.precision,
+                                        q_out=self.q_out)
             # main outputs from the WHOLE block: the sub-step seam offset
             # is absorbed into the plan (byte_off), so the kernel operand
             # is x itself — never a sliced/padded copy
             ym = fir_decimate_u8_planar(self.taps, self.factor, x,
                                         n_out - mb, impl=self.impl,
                                         precision=self.precision,
-                                        byte_off=mb * f2 - H)
+                                        byte_off=mb * f2 - H,
+                                        q_out=self.q_out)
             return x[..., x.shape[-1] - H:], jnp.concatenate([yb, ym], -1)
         xext = jnp.concatenate([carry, x], axis=-1)
         y = fir_decimate_u8_planar(self.taps, self.factor, xext, n_out,
                                    impl=self.impl,
-                                   precision=self.precision)
+                                   precision=self.precision,
+                                   q_out=self.q_out)
         new = xext[..., xext.shape[-1] - H:] if H else carry
         return new, y
 

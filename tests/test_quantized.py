@@ -207,3 +207,43 @@ def test_segmented_batched_continuation(rng):
         cs2, y2 = p.process(raw, parallel_blocks=B)
         np.testing.assert_allclose(np.asarray(y2), np.asarray(seq),
                                    atol=1e-5)
+
+
+def test_q_out_geometry_invariance(rng):
+    """Any band geometry q_out must yield bit-identical samples (it only
+    moves the MXU-work / lane-fill tradeoff), including combined with a
+    byte_off streaming seam."""
+    import jax.numpy as jnp
+    from sdr_tpu.ops.quantized import fir_decimate_u8_planar
+    taps = rng.uniform(-1, 1, 51).astype(np.float32)
+    raw = jnp.asarray(rng.integers(0, 256, 1 << 14, dtype=np.uint8))
+    for prec in ("s8", "s16"):
+        ref = np.asarray(fir_decimate_u8_planar(taps, 8, raw, 900,
+                                                precision=prec))
+        for q in (16, 32, 64, 256):
+            got = np.asarray(fir_decimate_u8_planar(taps, 8, raw, 900,
+                                                    precision=prec,
+                                                    q_out=q))
+            np.testing.assert_array_equal(got, ref)
+    a = np.asarray(fir_decimate_u8_planar(taps, 8, raw, 800, q_out=32,
+                                          byte_off=6))
+    b = np.asarray(fir_decimate_u8_planar(taps, 8, raw[6:], 800))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_u8_front_end_q_out_streaming(rng):
+    """U8FrontEnd(q_out=...) streams identically to the default geometry."""
+    import jax.numpy as jnp
+    from sdr_tpu.stream import U8FrontEnd
+    taps = rng.uniform(-1, 1, 51).astype(np.float32)
+    raw = jnp.asarray(rng.integers(0, 256, (3, 4096), dtype=np.uint8))
+    outs = []
+    for q in (64, 128):
+        op = U8FrontEnd(taps, 8, q_out=q)
+        c = op.init_carry(4096, jnp.uint8)
+        ys = []
+        for b in range(3):
+            c, y = op.apply(c, raw[b])
+            ys.append(np.asarray(y))
+        outs.append(np.concatenate(ys, axis=-1))
+    np.testing.assert_array_equal(outs[0], outs[1])
