@@ -48,6 +48,8 @@ BASELINE_PER_CHIP = 10e9 / 16  # BASELINE.md: >=10 GS/s aggregate on v5e-16
 HEADLINE_CONFIG = {
     "formulation": "run_time_batched (vmap block-parallel, one program)",
     "front": "quantized",     # int8-MXU fused convert+decimate (U8FrontEnd)
+    "atan2": "poly",          # planar-demod default (3.1x the exact
+                              # lowering at 5.8e-7 rad, bench_stages r2)
     "method": "conv",         # back-half FIR path
     "nblocks": 32,
     "block_u8": 10_485_760,

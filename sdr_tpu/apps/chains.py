@@ -35,7 +35,7 @@ def fm_taps():
 
 def fm_chain(volume: float = 0.2, method: str = "auto",
              planar: bool = False, front: str = "exact",
-             front_precision: str = "s16", atan2: str = "exact"):
+             front_precision: str = "s16", atan2: str = "poly"):
     """Broadcast FM receiver ops (config #1; examples/fm/fm.hs:32-41):
     u8 IQ -> decimate 8 -> FM demod -> 3/10 resample -> audio FIR -> volume.
 
@@ -53,8 +53,10 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
     TPU.  'quantized' implies the planar demod.  ``front_precision``:
     's16' (hi/lo split taps, ~2e-4) or 's8' (single 8-bit band — half
     the MXU work, ~2e-3, still 5x inside the differential bound).
-    ``atan2='poly'``: polynomial demod atan2 (5.8e-7 rad; planar demod
-    only).  ``front='fused'``: convert + decimate + demod in ONE Pallas
+    ``atan2``: 'poly' (the planar-demod default — measured 3.1x faster
+    than the transcendental lowering at 5.8e-7 rad absolute error,
+    bench_stages.json r2) or 'exact'; complex-path demod is always
+    exact.  ``front='fused'``: convert + decimate + demod in ONE Pallas
     kernel (U8FrontDemod — the intermediate I/Q planes never touch HBM;
     implies poly atan2).
     """
