@@ -13,11 +13,17 @@ Usage:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 import jax
+
+# sitecustomize imports jax at interpreter boot, so JAX_PLATFORMS in the
+# environment is too late on this box — honor it explicitly
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 
