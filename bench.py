@@ -219,7 +219,27 @@ def bench_channelizer(n_channels: int = 64, n: int = 4_096_000,
     return 2 * n / dt
 
 
-def _time_jit(fn, iters=10, operands=(), runs=4):
+import contextlib
+import signal
+
+
+@contextlib.contextmanager
+def _case_alarm(name: str, seconds: int = 900):
+    """Hard per-case timeout (SIGALRM): a single hung remote compile must
+    not stall the whole matrix (observed: one case blocked on a tunnel
+    RPC for 90+ minutes with zero CPU).  Main-thread only."""
+    def _raise(signum, frame):
+        raise TimeoutError(f"{name}: case exceeded {seconds}s")
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _time_jit(fn, iters=10, operands=(), runs=4, chained=False):
     """Per-iteration device time of ``fn`` with the iteration loop INSIDE
     the compiled program (python-unrolled, summed into one scalar).
 
@@ -248,6 +268,25 @@ def _time_jit(fn, iters=10, operands=(), runs=4):
     the persistent cache misses.
     """
     def make(n):
+        if chained:
+            # elementwise/scan ops: XLA fuses any same-shape chain into a
+            # single pass (a mean-folded loop of scales measures ONE
+            # traversal no matter the count).  Feed each iteration's
+            # output to the next through an optimization_barrier so every
+            # iteration is a real read+write pass — the honest
+            # memory-bound form of a standalone elementwise kernel.
+            def looped(x, *rest):
+                for i in range(n):
+                    x = jax.lax.optimization_barrier(
+                        fn(jnp.int32(i), x, *rest))
+                # return the WHOLE array: a [:1] slice here lets XLA
+                # dead-code the chain down to one element's dataflow
+                # (observed — the barrier does not block slice
+                # propagation); a program output must materialize, and
+                # _sync only transfers one element of it
+                return x
+            return jax.jit(looped)
+
         def looped(*ops_):
             acc = jnp.float32(0)
             for i in range(n):
@@ -410,12 +449,15 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
     def pr(i, x):  # defeat loop hoisting; numerically negligible
         return x + i.astype(x.dtype) * 1e-30
 
-    def case(name, fn, operands, n=block):
+    def case(name, fn, operands, n=block, case_iters=None, chained=False):
         if deadline is not None and time.time() > deadline:
             print(f"bench_kernels: deadline before {name}", file=sys.stderr)
             return
         try:
-            out[name] = n / _time_jit(fn, iters, operands=operands)
+            with _case_alarm(name):
+                dt = _time_jit(fn, case_iters or iters, operands=operands,
+                               chained=chained)
+            out[name] = n / dt
         except Exception as e:  # noqa: BLE001
             print(f"{name}: {str(e)[:160]}", file=sys.stderr)
         if dump:  # incremental: a later hang/timeout keeps earlier results
@@ -446,11 +488,22 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
     case("convert_u8_planar",
          lambda i, r: convert.iq_u8_to_planar(r + i.astype(jnp.uint8)),
          (raw,), n=nb)
-    case("scale", lambda i, x: convert.scale(0.3, pr(i, x)), (x0,))
+    # scale + dc_blocker produce same-shape outputs: time them CHAINED
+    # (output feeds the next iteration through a barrier) — the fold form
+    # lets XLA fuse the whole loop into one pass and measures nothing.
+    # Pure scalar-multiply chains CONSTANT-FOLD even through
+    # optimization_barrier (measured), i.e. standalone `scale` does not
+    # exist post-XLA — the row records the one-pass elementwise memory
+    # rate scale rides (a reverse-affine chain, which cannot fold).
+    case("scale",
+         lambda i, x: convert.scale(0.25, x) + convert.scale(
+             0.75, jnp.flip(x, -1)), (x0,), chained=True)
     case("fft_1024_batch",
          lambda i, x: jnp.abs(fftops.fft(pr(i, x).reshape(-1, 1024))),
          (xc0,))
-    case("dc_blocker", lambda i, x: scans.dc_blocker(pr(i, x))[0], (x0,))
+    case("dc_blocker",
+         lambda i, x: scans.dc_blocker(x)[0], (x0,),
+         case_iters=6, chained=True)
     # variant matrix: {filter, decimate} x {real, complex} x methods
     methods = ("conv", "direct", "pallas")
     for ntaps in (32, 128, 512):
