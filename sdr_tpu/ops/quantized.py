@@ -175,10 +175,15 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
         acc = jax.lax.dot_general(X2s, jnp.asarray(Bhi), cdims,
                                   preferred_element_type=jnp.int32)
     else:
-        acc = (jax.lax.dot_general(X2s, jnp.asarray(Bhi), cdims,
-                                   preferred_element_type=jnp.int32) * 256
-               + jax.lax.dot_general(X2s, jnp.asarray(Blo), cdims,
-                                     preferred_element_type=jnp.int32))
+        # hi|lo bands side by side in ONE dot: the op is HBM-bound on
+        # reading X2 (geometry-invariant timing, r2 probe), so reading
+        # it once for both bands — not once per band — is the win; the
+        # MAC count is identical either way
+        B2 = np.concatenate([Bhi, Blo], axis=1)
+        acc2 = jax.lax.dot_general(X2s, jnp.asarray(B2), cdims,
+                                   preferred_element_type=jnp.int32)
+        q2 = 2 * q_out
+        acc = acc2[..., :q2] * 256 + acc2[..., q2:]
     y = acc.astype(jnp.float32) * jnp.float32(scale)   # [..., P, 2*q_out]
     yi = y[..., :q_out].reshape(lead + (P * q_out,))[..., :num]
     yq = y[..., q_out:].reshape(lead + (P * q_out,))[..., :num]
