@@ -53,14 +53,14 @@ HEADLINE_CONFIG = {
     "method": "conv",         # back-half FIR path
     "nblocks": 32,
     "block_u8": 10_485_760,
-    "timing": ("8 chain repetitions unrolled INSIDE one program "
-               "(perturbed inputs, scalar fold); 10 s sustained-load "
-               "warm-up, then min over a 240 s continuous sampling "
-               "window (the shared device is bimodal on a minutes "
-               "scale — a long window finds the fast mode "
-               "reproducibly); NO null-RPC subtraction (the ~3 ms RPC "
-               "is <3% of a ~100 ms dispatch, and subtracting a spiked "
-               "null measurement inflated past records 2-3x)"),
+    "timing": ("calibrated pair: 8- and 16-repetition programs "
+               "(chain unrolled inside, perturbed inputs, scalar "
+               "fold); per-chain time = (min(t_16) - min(t_8)) / 8 "
+               "over a 240 s alternating sampling window — the "
+               "difference cancels the tunnel's per-dispatch constant "
+               "(measured 20-40 ms in some windows, the same order as "
+               "the chain itself) and the long window rides out the "
+               "device's minutes-scale bimodality"),
 }
 
 _T0 = time.time()
@@ -101,12 +101,10 @@ def bench_chain_batched(method: str = "conv", front: str = "quantized",
     ``nblocks`` blocks processed block-PARALLEL
     (parallel.run_time_batched semantics — same output samples as the
     sequential streamed run, proven in tests/test_parallel.py), repeated
-    ``iters`` times INSIDE one compiled program on perturbed inputs with
-    every output folded into one scalar.  One dispatch of the 32-block
-    chain runs only ~5-15 ms on device — the same order as the tunnel's
-    RPC jitter — so single-dispatch timing is a latency lottery (the
-    round-1 record's 3.2x spread); in-program iteration makes the
-    measured region ~10x the noise.  Returns (rate, per-run times)."""
+    ``iters`` / ``2*iters`` times INSIDE two compiled programs on
+    perturbed inputs with every output folded into one scalar; the
+    per-chain time is the calibrated difference (see the inline comment
+    at the sampling loop).  Returns (rate, sampling summary)."""
     from sdr_tpu.apps.chains import fm_chain
     from sdr_tpu.parallel.sharded import time_sharded_fn
 
@@ -115,46 +113,53 @@ def bench_chain_batched(method: str = "conv", front: str = "quantized",
     xb = jnp.asarray(rng.integers(0, 256, (nblocks, block), dtype=np.uint8))
     fn = time_sharded_fn(ops, axis_name="b")
 
-    def looped(x):
-        # x passed as an ARGUMENT (a closed-over array would be a 335 MB
-        # program constant -> HTTP 413 from the tunnel's remote-compile
-        # on cache miss); (acc * 0) serializes the iterations so XLA
-        # reuses buffers and overlap can't inflate the rate.
-        acc = jnp.float32(0)
-        for i in range(iters):
-            y = jax.vmap(fn, axis_name="b")(
-                x + (jnp.uint8(i) + (acc * 0).astype(jnp.uint8)))
-            acc = acc + jnp.mean(y) * 1e-3
-        return acc[None]
+    def make(n):
+        def looped(x):
+            # x passed as an ARGUMENT (a closed-over array would be a
+            # 335 MB program constant -> HTTP 413 from the tunnel's
+            # remote-compile on cache miss); (acc * 0) serializes the
+            # iterations so XLA reuses buffers and overlap can't inflate
+            # the rate.
+            acc = jnp.float32(0)
+            for i in range(n):
+                y = jax.vmap(fn, axis_name="b")(
+                    x + (jnp.uint8(i) + (acc * 0).astype(jnp.uint8)))
+                acc = acc + jnp.mean(y) * 1e-3
+            return acc[None]
+        return jax.jit(looped)
 
-    g = jax.jit(looped)
-    _sync(g(xb))
-    # sustained warm-up before timing; measured sustained rate is stable
-    # (+-3% over 2 min), so min-of-runs after warm-up is reproducible
+    g1, g2 = make(iters), make(2 * iters)
+    _sync(g1(xb))
+    _sync(g2(xb))
+    # sustained warm-up before timing
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < warmup_s:
-        _sync(g(xb))
-    # NO null-RPC subtraction: the ~3 ms round-trip is <3% of a ~100 ms
-    # region, while subtracting a spiked null measurement (tunnel hiccup
-    # during null_rpc_time) inflated earlier records 2-3x.
-    #
-    # The shared device is BIMODAL on a minutes scale (same cached
-    # executable measured 45% apart in adjacent windows, stable +-3%
-    # within one); a tight burst of runs samples only one window and the
-    # min() becomes a window lottery (round 1's 3.2x spread).  Sample
-    # continuously for ``sample_s`` seconds instead so the measurement
-    # spans several windows and min() reliably finds the fast one.
-    ts = []
+        _sync(g2(xb))
+    # CALIBRATED-PAIR sampling: per-iteration time is the difference
+    # between the 2N- and N-iteration programs, which cancels the
+    # tunnel's per-dispatch constant exactly — measured 20-40 ms in some
+    # windows, i.e. the same order as the chain itself, so dividing one
+    # program's wall time by N understated throughput ~25%.  The device
+    # is also BIMODAL on a minutes scale (45% apart across windows,
+    # +-3% within one), so both programs are sampled alternately over a
+    # ``sample_s``-second continuous window and the rate uses the min of
+    # each distribution.
+    t1s, t2s = [], []
     end = time.perf_counter() + sample_s
     while time.perf_counter() < end:
         t0 = time.perf_counter()
-        _sync(g(xb))
-        ts.append((time.perf_counter() - t0) / iters)
-    rate = (nblocks * block // 2) / max(min(ts), 1e-9)
-    ts_sorted = sorted(ts)
-    summary = {"n": len(ts), "min": ts_sorted[0],
-               "p10": ts_sorted[len(ts) // 10],
-               "p50": ts_sorted[len(ts) // 2], "max": ts_sorted[-1]}
+        _sync(g1(xb))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _sync(g2(xb))
+        t2s.append(time.perf_counter() - t0)
+    dt = max(min(t2s) - min(t1s), 1e-9) / iters
+    rate = (nblocks * block // 2) / dt
+    summary = {"n": len(t1s), "sec_per_chain": dt,
+               "min_n": min(t1s), "min_2n": min(t2s),
+               "p50_n": sorted(t1s)[len(t1s) // 2],
+               "p50_2n": sorted(t2s)[len(t2s) // 2],
+               "dispatch_const_est": min(t1s) - iters * dt}
     return rate, summary
 
 
@@ -173,26 +178,32 @@ def bench_chain_stream(method: str = "conv", front: str = "quantized",
     n_src = 4
     raw = jnp.asarray(rng.integers(0, 256, (n_src, block), dtype=np.uint8))
 
-    def chained(r):
-        c = p.init()
-        acc = jnp.float32(0)
-        for i in range(iters):
-            c, y = p.apply(c, r[i % n_src])
-            acc = acc + jnp.mean(y) * 1e-3
-        return acc[None]
+    def make(n):
+        def chained(r):
+            c = p.init()
+            acc = jnp.float32(0)
+            for i in range(n):
+                c, y = p.apply(c, r[i % n_src])
+                acc = acc + jnp.mean(y) * 1e-3
+            return acc[None]
+        return jax.jit(chained)
 
-    g = jax.jit(chained)
-    _sync(g(raw))
-    null = null_rpc_time()
-    best = None
-    for _ in range(3):
+    # calibrated pair (see bench_chain_batched): the difference cancels
+    # the tunnel's per-dispatch constant exactly
+    g1, g2 = make(iters), make(2 * iters)
+    _sync(g1(raw))
+    _sync(g2(raw))
+    b1 = b2 = None
+    for _ in range(6):
         t0 = time.perf_counter()
-        _sync(g(raw))
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    # cap the RPC correction so a spiked null measurement cannot inflate
-    # the rate (it corrupted round-1 records 2-3x)
-    dt = max(best - min(null, 0.25 * best), 1e-9) / iters
+        _sync(g1(raw))
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(g2(raw))
+        d2 = time.perf_counter() - t0
+        b1 = d1 if b1 is None else min(b1, d1)
+        b2 = d2 if b2 is None else min(b2, d2)
+    dt = max(b2 - b1, 1e-9) / iters
     return (block // 2) / dt
 
 
