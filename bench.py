@@ -464,13 +464,21 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
         if deadline is not None and time.time() > deadline:
             print(f"bench_kernels: deadline before {name}", file=sys.stderr)
             return
-        try:
-            with _case_alarm(name):
-                dt = _time_jit(fn, case_iters or iters, operands=operands,
-                               chained=chained)
-            out[name] = n / dt
-        except Exception as e:  # noqa: BLE001
-            print(f"{name}: {str(e)[:160]}", file=sys.stderr)
+        for attempt_iters in (case_iters or iters,
+                              6 * (case_iters or iters)):
+            try:
+                with _case_alarm(name):
+                    dt = _time_jit(fn, attempt_iters, operands=operands,
+                                   chained=chained)
+                out[name] = n / dt
+                break
+            except ValueError as e:
+                # overhead-dominated at this repetition count: retry the
+                # fast case with 6x the in-program iterations
+                print(f"{name}: {str(e)[:120]}", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: {str(e)[:160]}", file=sys.stderr)
+                break
         if dump:  # incremental: a later hang/timeout keeps earlier results
             with open(dump, "w") as fh:
                 json.dump({k: float(v) for k, v in out.items()}, fh)
