@@ -510,13 +510,14 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
     # scale + dc_blocker produce same-shape outputs: time them CHAINED
     # (output feeds the next iteration through a barrier) — the fold form
     # lets XLA fuse the whole loop into one pass and measures nothing.
-    # Pure scalar-multiply chains CONSTANT-FOLD even through
-    # optimization_barrier (measured), i.e. standalone `scale` does not
-    # exist post-XLA — the row records the one-pass elementwise memory
-    # rate scale rides (a reverse-affine chain, which cannot fold).
+    # XLA collapses LINEAR chains (scalar multiplies, even flip-affine
+    # mixes) straight through optimization_barrier, i.e. standalone
+    # `scale` does not exist post-XLA — the row records the one-pass
+    # elementwise memory rate scale rides, via a chained QUADRATIC
+    # (composition grows degree, so no algebraic collapse is possible).
     case("scale",
-         lambda i, x: convert.scale(0.25, x) + convert.scale(
-             0.75, jnp.flip(x, -1)), (x0,), chained=True)
+         lambda i, x: convert.scale(1.0, x + x * x * 1e-12), (x0,),
+         chained=True)
     case("fft_1024_batch",
          lambda i, x: jnp.abs(fftops.fft(pr(i, x).reshape(-1, 1024))),
          (xc0,))
