@@ -521,7 +521,13 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
     case("fft_1024_batch",
          lambda i, x: jnp.abs(fftops.fft(pr(i, x).reshape(-1, 1024))),
          (xc0,))
-    # variant matrix: {filter, decimate} x {real, complex} x methods
+    # variant matrix: {filter, decimate} x {real, complex} x methods.
+    # Operands are BATCHED [32, block/32] — the shape every chain
+    # actually runs (XLA's TPU conv parallelizes over batch; a single
+    # 1-D conv degenerates ~100x and would poison the dispatch table).
+    nb32 = block // 32
+    xb32 = x0.reshape(32, nb32)
+    xcb32 = xc0.reshape(32, nb32)
     methods = ("conv", "direct", "pallas")
     for ntaps in (32, 128, 512):
         taps = rng.uniform(-1, 1, ntaps).astype(np.float32)
@@ -530,17 +536,18 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
                 continue  # [num, K] im2col at this size is pathological
             case(f"filter_r_k{ntaps}_{method}",
                  lambda i, x, m=method, t=taps, k=ntaps: fir.fir_filter(
-                     t, pr(i, x), block - k + 1, method=m), (x0,))
+                     t, pr(i, x), nb32 - k + 1, method=m), (xb32,))
     for method in ("conv", "pallas"):
         case(f"decimate_r_k128_{method}",
              lambda i, x, m=method: fir.fir_decimate(
-                 taps128, 4, pr(i, x), (block - 128) // 4, method=m), (x0,))
+                 taps128, 4, pr(i, x), (nb32 - 128) // 4, method=m),
+             (xb32,))
         case(f"filter_c_k128_{method}",
              lambda i, x, m=method: fir.fir_decimate(
-                 taps128, 1, pr(i, x), block - 127, method=m), (xc0,))
+                 taps128, 1, pr(i, x), nb32 - 127, method=m), (xcb32,))
         case(f"decimate_r_k51_d8_{method}",
              lambda i, x, m=method: fir.fir_decimate(
-                 taps51, 8, pr(i, x), (block - 51) // 8, method=m), (x0,))
+                 taps51, 8, pr(i, x), (nb32 - 51) // 8, method=m), (xb32,))
     # dc_blocker LAST and small: its unrolled associative scan has twice
     # hung the tunnel's remote compile in a way no in-process timeout can
     # interrupt (the RPC blocks in C++ and never returns) — if it hangs
