@@ -490,23 +490,32 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
     taps51 = rng.uniform(-1, 1, 51).astype(np.float32)
     taps31 = rng.uniform(-1, 1, 31).astype(np.float32)
     taps128 = rng.uniform(-1, 1, 128).astype(np.float32)
+    # all operands BATCHED [32, n/32] — the shape chains actually run;
+    # single 1-D ops degenerate on the TPU conv/layout paths (see the
+    # FIR-row comment below)
     nb = 4 * block
+    rawb = raw.reshape(32, nb // 32)
+    xr32 = x0.reshape(32, block // 32)
+    xcr32 = xc0.reshape(32, block // 32)
     case("u8_front_k51_d8_int8",
          lambda i, r: fir_decimate_u8_planar(
              taps51, 8, r + i.astype(jnp.uint8),
-             (nb // 2 - 51) // 8 + 1, impl="auto"), (raw,), n=nb)
+             (nb // 32 // 2 - 51) // 8 + 1, impl="auto"), (rawb,), n=nb)
     case("resample_r_3_4",
-         lambda i, x: fir.fir_resample(taps128, 3, 4, pr(i, x))[0], (x0,))
+         lambda i, x: fir.fir_resample(taps128, 3, 4, pr(i, x))[0],
+         (xr32,))
     case("resample_c_3_4",
-         lambda i, x: fir.fir_resample(taps128, 3, 4, pr(i, x))[0], (xc0,))
+         lambda i, x: fir.fir_resample(taps128, 3, 4, pr(i, x))[0],
+         (xcr32,))
     case("resample_r_3_10_k31",
-         lambda i, x: fir.fir_resample(taps31, 3, 10, pr(i, x))[0], (x0,))
+         lambda i, x: fir.fir_resample(taps31, 3, 10, pr(i, x))[0],
+         (xr32,))
     case("convert_u8",
          lambda i, r: jnp.abs(convert.iq_u8_to_cfloat(
-             r + i.astype(jnp.uint8))), (raw,), n=nb)
+             r + i.astype(jnp.uint8))), (rawb,), n=nb)
     case("convert_u8_planar",
          lambda i, r: convert.iq_u8_to_planar(r + i.astype(jnp.uint8)),
-         (raw,), n=nb)
+         (rawb,), n=nb)
     # scale + dc_blocker produce same-shape outputs: time them CHAINED
     # (output feeds the next iteration through a barrier) — the fold form
     # lets XLA fuse the whole loop into one pass and measures nothing.
