@@ -525,7 +525,7 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
     # elementwise memory rate scale rides, via a chained QUADRATIC
     # (composition grows degree, so no algebraic collapse is possible).
     case("scale",
-         lambda i, x: convert.scale(1.0, x + x * x * 1e-12), (x0,),
+         lambda i, x: convert.scale(1.0, x + x * x * 1e-12), (xr32,),
          chained=True)
     case("fft_1024_batch",
          lambda i, x: jnp.abs(fftops.fft(pr(i, x).reshape(-1, 1024))),
