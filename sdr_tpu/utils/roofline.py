@@ -51,14 +51,16 @@ class Ceilings:
 
 
 # Measured on the attached tunneled v5e-class chip.  These are
-# lower-bound estimates with provenance: int8 comes from the front-end
-# stage itself sustaining 86 TOP/s under the calibrated-difference
-# harness (r2 bench_stages — an op cannot beat the unit ceiling, so any
-# sustained op rate raises the floor-model ceiling); hbm/vpu/bf16 from
-# direct probes in an earlier (possibly slow) window.  The datasheet
-# entry is provided for reference runs on a full-speed chip.
+# LOWER-BOUND estimates with provenance — an op cannot beat the unit
+# ceiling, so the best sustained op rate raises the floor-model ceiling:
+# hbm from the Pallas k32 FIR row sustaining ~680 GB/s (bench_kernels
+# r2, calibrated; near the 819 GB/s datasheet — the chip IS full-speed
+# in good windows; earlier 220 GB/s probes were slow-window artifacts);
+# int8 from the front-end stage sustaining 86 TOP/s; vpu from f32 conv
+# rows; bf16 from an early direct probe (stalest).  The datasheet entry
+# is provided for reference runs elsewhere.
 MEASURED_CEILINGS = {
-    "axon-v5e": Ceilings("axon-v5e (measured)", hbm_bps=220e9,
+    "axon-v5e": Ceilings("axon-v5e (measured)", hbm_bps=680e9,
                          vpu_flops=1.5e12, mxu_bf16_flops=34e12,
                          mxu_int8_ops=90e12),
     "v5e-spec": Ceilings("v5e (datasheet)", hbm_bps=819e9,
