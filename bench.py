@@ -436,31 +436,53 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32,
 
 
 def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
-                  deadline: float = None):
+                  deadline: float = None, only: str = None,
+                  collect: bool = False):
     """Per-kernel microbenchmarks — the Criterion variant matrix analog
     (benchmarks/Benchmarks.hs:79-156: {filter, decimate, resample} x
     {real, complex} x implementations + conversion + scale; tap-count
-    sweep per BASELINE config #2).  Rates are input samples/sec."""
+    sweep per BASELINE config #2).  Rates are input samples/sec.
+
+    ``only``: compute just that case, seeding the dump file's existing
+    rows (per-case subprocess isolation — see bench_kernels_robust).
+    ``collect``: return the ordered case-name list without running.
+    """
     from sdr_tpu.ops import fir, convert, scans, fftops
     out = {}
+    names = []
+    if dump and only:
+        try:
+            with open(dump) as fh:
+                out.update(json.load(fh))
+        except (OSError, ValueError):
+            pass
     rng = np.random.default_rng(0)
-    from sdr_tpu.utils import from_host
-    # operands passed as jit ARGUMENTS, never closures (a closed-over
-    # array becomes a program constant: bloats the persistent cache and
-    # can blow the tunnel's remote-compile request limit)
-    x0 = jnp.asarray(rng.uniform(-1, 1, block).astype(np.float32))
-    # complex test vector assembled ON device (complex h2d transfers are
-    # unimplemented on the axon runtime and poison the process)
-    xc0 = from_host((rng.uniform(-1, 1, block)
-                     + 1j * rng.uniform(-1, 1, block)).astype(np.complex64))
-    # the u8 front end is far faster per element — give it 4x the bytes
-    # so its calibrated difference region stays well above jitter
-    raw = jnp.asarray(rng.integers(0, 256, 4 * block, dtype=np.uint8))
+    if collect:
+        # name enumeration only: placeholder hosts (never touched)
+        x0 = np.zeros(block, np.float32)
+        xc0 = np.zeros(block, np.complex64)
+        raw = np.zeros(4 * block, np.uint8)
+    else:
+        from sdr_tpu.utils import from_host
+        # operands passed as jit ARGUMENTS, never closures (a closed-over
+        # array becomes a program constant: bloats the persistent cache
+        # and can blow the tunnel's remote-compile request limit)
+        x0 = jnp.asarray(rng.uniform(-1, 1, block).astype(np.float32))
+        # complex test vector assembled ON device (complex h2d transfers
+        # are unimplemented on the axon runtime, poisoning the process)
+        xc0 = from_host((rng.uniform(-1, 1, block) + 1j * rng.uniform(
+            -1, 1, block)).astype(np.complex64))
+        # the u8 front end is far faster per element — give it 4x the
+        # bytes so its calibrated difference stays well above jitter
+        raw = jnp.asarray(rng.integers(0, 256, 4 * block, dtype=np.uint8))
 
     def pr(i, x):  # defeat loop hoisting; numerically negligible
         return x + i.astype(x.dtype) * 1e-30
 
     def case(name, fn, operands, n=block, case_iters=None, chained=False):
+        names.append(name)
+        if collect or (only is not None and name != only):
+            return
         if deadline is not None and time.time() > deadline:
             print(f"bench_kernels: deadline before {name}", file=sys.stderr)
             return
@@ -564,7 +586,46 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
     case("dc_blocker",
          lambda i, x: scans.dc_blocker(x[: 1 << 20])[0], (x0,),
          case_iters=4, chained=True, n=1 << 20)
-    return out
+    return names if collect else out
+
+
+def bench_kernels_robust(dump: str = "bench_kernels.json",
+                         deadline: float = None,
+                         per_case_s: float = 1200.0):
+    """Run every matrix case in its OWN subprocess with a parent-enforced
+    timeout.  Remote compiles through the tunnel can hang forever with
+    zero CPU, uninterruptible by any in-process timeout (SIGALRM never
+    fires inside the blocked C++ RPC — observed three times); killing
+    the whole subprocess is the only reliable recovery.  Rows merge into
+    ``dump`` incrementally; a hung case costs its timeout, not the rest
+    of the matrix."""
+    import subprocess
+    names = bench_kernels(collect=True)
+    for name in names:
+        remaining = None if deadline is None else deadline - time.time()
+        if remaining is not None and remaining < 120:
+            print(f"bench_kernels_robust: budget before {name}",
+                  file=sys.stderr)
+            break
+        budget = per_case_s if remaining is None \
+            else min(per_case_s, remaining)
+        code = (f"import bench; bench.bench_kernels(dump={dump!r}, "
+                f"only={name!r})")
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=budget)
+            if r.stderr:
+                sys.stderr.write(r.stderr[-400:])
+        except subprocess.TimeoutExpired:
+            print(f"{name}: killed after {budget:.0f}s (hung compile)",
+                  file=sys.stderr)
+            time.sleep(120)  # tunnel recovery window after a kill
+    try:
+        with open(dump) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
 
 
 def _subproc(code: str, tag: str, timeout: float, attempts: int = 2):
@@ -660,17 +721,11 @@ def main():
     if stages is not None:
         results["stages"] = stages
 
-    # 4. kernel matrix (incremental dump survives any timeout)
-    _subproc(
-        "import json, bench; "
-        f"print(json.dumps(bench.bench_kernels(dump='bench_kernels.json', "
-        f"deadline={deadline!r})))",
-        "kernels", timeout=max(_remaining(), 60), attempts=1)
-    try:
-        with open("bench_kernels.json") as fh:
-            results.update(json.load(fh))
-    except OSError:
-        pass
+    # 4. kernel matrix — one subprocess PER CASE with a parent-enforced
+    #    timeout (hung remote compiles are uninterruptible in-process);
+    #    the dump file accumulates rows incrementally
+    results.update(bench_kernels_robust("bench_kernels.json",
+                                        deadline=deadline))
 
     for k, v in sorted(results.items()):
         if isinstance(v, (int, float)):
