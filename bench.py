@@ -697,6 +697,21 @@ def main():
                        "see bench_details.json"),
     }), flush=True)
 
+    # 1b. secondary: same chain with method='auto' (the measured
+    #     dispatch table sends unit-stride FIRs to the Pallas kernel,
+    #     which sustained 27x the conv rate at k32 in the batched
+    #     matrix) — kept out of the headline until it has its own
+    #     recorded history
+    auto = _subproc(
+        ("import json, bench; r, ts = bench.bench_chain_batched("
+         f"'auto', {cfg['front']!r}, {cfg['block_u8']}, "
+         f"{cfg['nblocks']}, sample_s=120.0); "
+         "print(json.dumps({'rate': r, 'runs': ts}))"),
+        "headline_auto", timeout=1700, attempts=1)
+    if auto is not None:
+        results["fm_chain_batched_auto"] = auto["rate"]
+        results["fm_chain_batched_auto_runs"] = auto["runs"]
+
     # 2. secondary: sequential streaming formulation (recorded, not the
     #    headline)
     stream = _subproc(

@@ -29,13 +29,17 @@ __all__ = ["best_method", "measured_rates"]
 
 # samples/sec by {family: {method: {n_taps: rate}}}.
 # family 'filter' = unit stride, 'decimate' = strided.  TPU numbers:
-# bench_kernels.json (v5e via axon, r2); CPU numbers are rough orders
-# from the test machine — CPU is a correctness backend, not a target.
+# bench_kernels.json at batched in-chain shapes ([32, n] — single 1-D
+# convs degenerate ~100x on TPU and must not seed this table).  k32
+# rows are r2 calibrated-pair measurements; k128/k512 rows carry over
+# from r1 (old harness — refresh when the batched matrix completes).
+# CPU numbers are rough orders from the test machine — CPU is a
+# correctness backend, not a target.
 MEASURED = {
     "tpu": {
         "filter": {
-            "conv":   {32: 3.42e9, 128: 8.89e9, 512: 1.00e10},
-            "pallas": {32: 2.14e9, 128: 9.48e9, 512: 1.49e10},
+            "conv":   {32: 3.21e9, 128: 8.89e9, 512: 1.00e10},
+            "pallas": {32: 8.82e10, 128: 2.84e10, 512: 1.49e10},
         },
         "decimate": {
             "conv":   {128: 7.02e9},

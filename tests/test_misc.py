@@ -72,11 +72,13 @@ def test_best_method_cpu():
 
 
 def test_tuning_table_dispatch(tmp_path, monkeypatch):
-    """best_method = argmax over the measured rate table; the recorded
-    matrix says conv wins small taps on TPU and pallas wins large."""
+    """best_method = argmax over the measured rate table; the r2 batched
+    matrix has the Pallas kernel winning unit-stride at every recorded
+    tap count (27x conv at k32)."""
     from sdr_tpu.utils import tuning
-    assert tuning.best_method("tpu", 32) == "conv"
+    assert tuning.best_method("tpu", 32) == "pallas"
     assert tuning.best_method("tpu", 512) == "pallas"
+    assert tuning.best_method("tpu", 128, factor=4) == "conv"
     assert tuning.best_method("cpu", 32, num=100) == "direct"
     # runtime override via SDR_TPU_TUNING_JSON
     p = tmp_path / "t.json"
