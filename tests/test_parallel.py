@@ -226,3 +226,20 @@ def test_time_batched_channelize_restack(rng):
     np.testing.assert_allclose(np.asarray(seq), np.asarray(whole), atol=1e-4)
     _, par = p.process(x, parallel_blocks=4)
     np.testing.assert_allclose(np.asarray(par), np.asarray(whole), atol=1e-4)
+
+
+def test_time_batched_pallas_backhalf_matches_conv():
+    """fm_chain(method='pallas') (the dispatch table's unit-stride pick
+    on TPU) must produce the same samples as the conv path under the
+    block-parallel formulation."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sdr_tpu.apps.chains import fm_chain
+    from sdr_tpu import parallel
+    rng = np.random.default_rng(7)
+    raw = jnp.asarray(rng.integers(0, 256, 163840 * 2, dtype=np.uint8))
+    a = parallel.run_time_batched(
+        fm_chain(method="pallas", front="quantized"), raw, 2)
+    b = parallel.run_time_batched(
+        fm_chain(method="conv", front="quantized"), raw, 2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
