@@ -34,15 +34,20 @@ computable without serialization.
 MXU mapping: the hot paths are ``conv`` (XLA's conv_general_dilated — its
 native TPU lowering, which also fuses with neighboring elementwise ops)
 and ``pallas`` (kernels/fir_pallas.py — lane-aligned banded matmuls in
-VMEM, which wins for large unit-stride tap counts).  A third ``direct``
-gather-einsum path covers tiny blocks and CPU.  An explicit banded-matmul
-XLA path existed through round 1 and was DELETED: measured 3-40x slower
-than conv at every shape in bench_kernels.json (XLA materializes the
-[P, M] window gather through HBM; the Pallas kernel is the same algebra
-done right, with windows staying in VMEM).  Strided (decimating) reads
-use a polyphase input split so bands stay dense.  Complex samples with
-real taps (the RC kernel variants, filter.c:74) are handled by viewing
-complex as a [2, N] real batch.
+VMEM; at batched in-chain shapes it wins unit-stride at EVERY measured
+tap count — 88 vs 3.2 G/s at k32, bench_kernels r2 — so the measured
+dispatch table routes ``method='auto'`` unit-stride calls to it).  A
+third ``direct`` gather-einsum path covers tiny blocks and CPU.  An
+explicit banded-matmul XLA path existed through round 1 and was
+DELETED: measured 3-40x slower than conv at every shape (XLA
+materializes the [P, M] window gather through HBM; the Pallas kernel is
+the same algebra done right, with windows staying in VMEM).  Strided
+(decimating) reads use a polyphase input split so bands stay dense.
+Complex samples with real taps (the RC kernel variants, filter.c:74)
+are handled by viewing complex as a [2, N] real batch.  NOTE the shape
+rule that dominates all of these (docs/DESIGN.md §2b): measure and run
+FIRs BATCHED ([32, n] blocks) — a single long 1-D conv degenerates
+~100x on the TPU lowering.
 
 Numerical contract: float32 in, float32 accumulate, identical summation
 *results* to the reference within its own cross-implementation test bound of
