@@ -153,7 +153,14 @@ def bench_chain_batched(method: str = "conv", front: str = "quantized",
         t0 = time.perf_counter()
         _sync(g2(xb))
         t2s.append(time.perf_counter() - t0)
-    dt = max(min(t2s) - min(t1s), 1e-9) / iters
+    dt = (min(t2s) - min(t1s)) / iters
+    if dt <= 0:
+        # the two programs' minima landed in different device modes —
+        # an impossible (non-positive) difference must fail loudly, not
+        # become a near-infinite recorded rate
+        raise ValueError(
+            f"calibration crossed device modes: min(t_2n)={min(t2s):.4f}"
+            f" <= min(t_n)={min(t1s):.4f}; rerun")
     rate = (nblocks * block // 2) / dt
     summary = {"n": len(t1s), "sec_per_chain": dt,
                "min_n": min(t1s), "min_2n": min(t2s),
@@ -203,7 +210,9 @@ def bench_chain_stream(method: str = "conv", front: str = "quantized",
         d2 = time.perf_counter() - t0
         b1 = d1 if b1 is None else min(b1, d1)
         b2 = d2 if b2 is None else min(b2, d2)
-    dt = max(b2 - b1, 1e-9) / iters
+    dt = (b2 - b1) / iters
+    if dt <= 0:
+        raise ValueError("calibration crossed device modes; rerun")
     return (block // 2) / dt
 
 
@@ -232,6 +241,11 @@ def bench_channelizer(n_channels: int = 64, n: int = 4_096_000,
 
 import contextlib
 import signal
+
+
+class OverheadDominated(ValueError):
+    """_time_jit's 2x program was not measurably slower: the region is
+    constant-cost-dominated at this repetition count."""
 
 
 @contextlib.contextmanager
@@ -328,7 +342,7 @@ def _time_jit(fn, iters=10, operands=(), runs=4, chained=False):
         best1 = d1 if best1 is None else min(best1, d1)
         best2 = d2 if best2 is None else min(best2, d2)
     if best2 < best1 * 1.15:
-        raise ValueError(
+        raise OverheadDominated(
             f"overhead-dominated: {iters} iters {best1*1e3:.2f} ms vs "
             f"{2*iters} iters {best2*1e3:.2f} ms — raise iters")
     return (best2 - best1) / iters
@@ -494,9 +508,10 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
                                    chained=chained)
                 out[name] = n / dt
                 break
-            except ValueError as e:
-                # overhead-dominated at this repetition count: retry the
-                # fast case with 6x the in-program iterations
+            except OverheadDominated as e:
+                # retry the fast case with 6x the in-program iterations
+                # (only this signal retries — a deterministic config
+                # ValueError from the op itself would just fail again)
                 print(f"{name}: {str(e)[:120]}", file=sys.stderr)
             except Exception as e:  # noqa: BLE001
                 print(f"{name}: {str(e)[:160]}", file=sys.stderr)

@@ -219,14 +219,20 @@ def _fir_conv(taps_dev, x, num: int, factor: int, start: int = 0):
     exactly the reference's orientation (filter.c:16-24).
 
     ``start`` (a static input origin) is folded in as NEGATIVE low
-    padding, and over-long inputs are handled by computing extra outputs
-    and truncating — the buffer is never sliced, because a slice feeding
-    a conv materializes a full copy of the (potentially 100s-of-MB)
-    input in HBM, while negative padding and output truncation are free.
+    padding, and moderately over-long inputs are handled by computing
+    extra outputs and truncating — the buffer is never sliced, because a
+    slice feeding a conv materializes a full copy of the (potentially
+    100s-of-MB) input in HBM.  When the input is FAR longer than the
+    window span (num << n), extra-output work would dominate instead, so
+    the input IS sliced — to ``need`` elements, which is small in
+    exactly that regime.
     """
     K = taps_dev.shape[0]
     need = start + (num - 1) * factor + K
     n = x.shape[-1]
+    if n > need and (n - need) * 8 > n:
+        x = x[..., :need]
+        n = need
     hi = max(0, need - n)
     lead = x.shape[:-1]
     xb = x.reshape((-1, 1, x.shape[-1]))           # [B, C=1, N]
@@ -278,8 +284,10 @@ def fir_filter(taps, x, num: Optional[int] = None, method: str = "auto",
     ``num`` defaults to the full valid length ``N - K + 1``.  Real taps;
     ``x`` may be real or complex (complex handled as a 2-row real batch,
     like the interleaved re/im layout of filter.c:74-84).  ``start`` is a
-    static input origin folded into the kernel (zero-copy — equivalent to
-    calling on ``x[..., start:]`` without the slice's HBM copy).
+    static input origin folded into the kernel — zero-copy (equivalent
+    to calling on ``x[..., start:]`` without the slice's HBM copy) on
+    the conv and direct paths; the pallas path has no origin parameter
+    and falls back to the explicit slice.
     """
     taps_np = np.asarray(taps, dtype=np.float32)
     if num is None:
@@ -398,7 +406,12 @@ def _resample_conv(taps_np: np.ndarray, I: int, D: int, x, offset: int,
     n = x.shape[-1]
     # origin folded in as negative low padding, short input padded high —
     # the buffer itself is never sliced (a slice feeding a conv
-    # materializes a full HBM copy of the input)
+    # materializes a full HBM copy of the input) UNLESS the input is far
+    # longer than the window span, where the small slice beats computing
+    # and discarding outputs over the whole buffer
+    if n > need and (n - need) * 8 > n:
+        x = x[..., :need]
+        n = need
     lead = x.shape[:-1]
     xb = x.reshape((-1, 1, x.shape[-1]))               # [B, 1, N']
     y = jax.lax.conv_general_dilated(

@@ -136,7 +136,7 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
         from sdr_tpu.kernels.u8_front_pallas import u8_front_pallas
         return u8_front_pallas(taps, factor, raw, num,
                                precision=precision,
-                               byte_off=byte_off)
+                               byte_off=byte_off, q_out=int(q_out))
     taps = np.asarray(taps, dtype=np.float32)
     K, f = taps.shape[0], int(factor)
     q_out = int(q_out)

@@ -28,18 +28,20 @@ import os
 __all__ = ["best_method", "measured_rates"]
 
 # samples/sec by {family: {method: {n_taps: rate}}}.
-# family 'filter' = unit stride, 'decimate' = strided.  TPU numbers:
-# bench_kernels.json at batched in-chain shapes ([32, n] — single 1-D
-# convs degenerate ~100x on TPU and must not seed this table).  k32
-# rows are r2 calibrated-pair measurements; k128/k512 rows carry over
-# from r1 (old harness — refresh when the batched matrix completes).
+# family 'filter' = unit stride, 'decimate' = strided.  TPU provenance,
+# per row: k32 = r2 calibrated-pair rows at batched in-chain shapes
+# ([32, n] — single 1-D convs degenerate ~100x on TPU and must not seed
+# this table); k128/k512 = r1 bench_kernels.json VERBATIM (older
+# harness — refresh from the batched matrix when it completes).  The
+# argmax is robust to the mixed provenance: pallas wins k32 by 27x
+# (r2) and was already ahead at k128/k512 within r1's own numbers.
 # CPU numbers are rough orders from the test machine — CPU is a
 # correctness backend, not a target.
 MEASURED = {
     "tpu": {
         "filter": {
             "conv":   {32: 3.21e9, 128: 8.89e9, 512: 1.00e10},
-            "pallas": {32: 8.82e10, 128: 2.84e10, 512: 1.49e10},
+            "pallas": {32: 8.82e10, 128: 9.48e9, 512: 1.49e10},
         },
         "decimate": {
             "conv":   {128: 7.02e9},
