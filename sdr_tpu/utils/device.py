@@ -5,8 +5,9 @@ there, ``featureSelect`` picks the fastest SIMD implementation the host
 supports (CPUID.hs:100-104); here there is one ISA (the TPU), but multiple
 execution strategies (XLA conv / Pallas kernel / gather)
 whose relative speed depends on device generation and problem shape.
-``best_method`` is the dispatch point; measured defaults favor XLA's conv
-lowering on TPU and the direct path on CPU.
+``best_method`` is the dispatch point; the recorded matrix currently
+routes unit-stride FIRs to the Pallas banded kernel on TPU, strided ones
+to XLA's conv lowering, and everything to conv/direct on CPU.
 """
 
 from __future__ import annotations
