@@ -386,6 +386,13 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32,
                                  ).astype(np.float32))
 
     out = {}
+    try:
+        # seed from the committed artifact: a timeout mid-run must not
+        # clobber previously recorded rows (each case overwrites its own)
+        with open(dump) as fh:
+            out.update(json.load(fh))
+    except (OSError, ValueError):
+        pass
 
     def case(name, fn, in_complex_samples, operands, stage_idx=None):
         if deadline is not None and time.time() > deadline:
