@@ -25,8 +25,10 @@ script exits 0 inside the driver window even with cold compiles):
 Everything lands in bench_details.json; stderr carries the human table.
 """
 
+import contextlib
 import json
 import os
+import signal
 import sys
 import time
 
@@ -79,17 +81,19 @@ def _sync(y):
     return float(np.asarray(jnp.ravel(y)[:1])[0])
 
 
-def null_rpc_time(iters: int = 5) -> float:
-    """Round-trip cost of dispatch + scalar transfer with ~zero compute."""
-    g = jax.jit(lambda v: v + 1.0)
-    z = jnp.zeros(8)
-    _sync(g(z))
-    ts = []
-    for _ in range(iters):
+def _pair_mins(g1, g2, operands, runs: int):
+    """min wall time of each of a calibrated program pair, alternating."""
+    b1 = b2 = None
+    for _ in range(runs):
         t0 = time.perf_counter()
-        _sync(g(z))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+        _sync(g1(*operands))
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(g2(*operands))
+        d2 = time.perf_counter() - t0
+        b1 = d1 if b1 is None else min(b1, d1)
+        b2 = d2 if b2 is None else min(b2, d2)
+    return b1, b2
 
 
 def bench_chain_batched(method: str = "conv", front: str = "quantized",
@@ -200,16 +204,7 @@ def bench_chain_stream(method: str = "conv", front: str = "quantized",
     g1, g2 = make(iters), make(2 * iters)
     _sync(g1(raw))
     _sync(g2(raw))
-    b1 = b2 = None
-    for _ in range(6):
-        t0 = time.perf_counter()
-        _sync(g1(raw))
-        d1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _sync(g2(raw))
-        d2 = time.perf_counter() - t0
-        b1 = d1 if b1 is None else min(b1, d1)
-        b2 = d2 if b2 is None else min(b2, d2)
+    b1, b2 = _pair_mins(g1, g2, (raw,), runs=6)
     dt = (b2 - b1) / iters
     if dt <= 0:
         raise ValueError("calibration crossed device modes; rerun")
@@ -237,10 +232,6 @@ def bench_channelizer(n_channels: int = 64, n: int = 4_096_000,
             xb + i.astype(jnp.complex64) * 1e-30),
         iters, operands=(x,))
     return 2 * n / dt
-
-
-import contextlib
-import signal
 
 
 class OverheadDominated(ValueError):
@@ -331,16 +322,7 @@ def _time_jit(fn, iters=10, operands=(), runs=4, chained=False):
     g1, g2 = make(iters), make(2 * iters)
     _sync(g1(*operands))
     _sync(g2(*operands))
-    best1 = best2 = None
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        _sync(g1(*operands))
-        d1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _sync(g2(*operands))
-        d2 = time.perf_counter() - t0
-        best1 = d1 if best1 is None else min(best1, d1)
-        best2 = d2 if best2 is None else min(best2, d2)
+    best1, best2 = _pair_mins(g1, g2, operands, runs)
     if best2 < best1 * 1.15:
         raise OverheadDominated(
             f"overhead-dominated: {iters} iters {best1*1e3:.2f} ms vs "
