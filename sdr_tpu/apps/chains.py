@@ -35,7 +35,8 @@ def fm_taps():
 
 def fm_chain(volume: float = 0.2, method: str = "auto",
              planar: bool = False, front: str = "exact",
-             front_precision: str = "s16", atan2: str = "poly"):
+             front_precision: str = "s16", atan2: str = "poly",
+             stereo: bool = False, fs_in: float = 1_280_000.0):
     """Broadcast FM receiver ops (config #1; examples/fm/fm.hs:32-41):
     u8 IQ -> decimate 8 -> FM demod -> 3/10 resample -> audio FIR -> volume.
 
@@ -59,6 +60,12 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
     exact.  ``front='fused'``: convert + decimate + demod in ONE Pallas
     kernel (U8FrontDemod — the intermediate I/Q planes never touch HBM;
     implies poly atan2).
+
+    ``stereo=True`` decodes the stereo multiplex (beyond the reference's
+    mono example): a :class:`~sdr_tpu.stream.StereoDecode` stage after
+    the demod splits L/R at the composite rate, and the existing
+    resampler/audio stages batch over the [2] channel axis unchanged —
+    output blocks are ``[2, n]`` at 48 kS/s.
     """
     rf, ars, afl = fm_taps()
     if front == "auto":
@@ -67,6 +74,9 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
     back = [Fir.resampler(ars, 3, 10, method=method),
             Fir.filter(afl, method=method),
             Scale(volume)]
+    if stereo:
+        from sdr_tpu.stream import StereoDecode
+        back = [StereoDecode(fs=fs_in / 8), *back]
     if front == "fused":
         from sdr_tpu.stream import U8FrontDemod
         return [U8FrontDemod(rf, 8, precision=front_precision), *back]

@@ -66,16 +66,21 @@ def main(argv=None):
                     help="print throughput while running")
     ap.add_argument("--native", action="store_true",
                     help="ingest via the C++ ring-buffer loader")
+    ap.add_argument("--stereo", action="store_true",
+                    help="decode the stereo multiplex (L/R WAV out)")
     args = ap.parse_args(argv)
 
     audio_rate = args.rate // 8 * 3 // 10
-    pipe = Pipeline(fm_chain(args.volume, args.method, front=args.front),
+    pipe = Pipeline(fm_chain(args.volume, args.method, front=args.front,
+                             stereo=args.stereo, fs_in=float(args.rate)),
                     block_in=args.block, in_dtype=jnp.uint8)
     if args.audio:
         from sdr_tpu.io import audio_sink
-        write, close = audio_sink(audio_rate)
+        write, close = audio_sink(audio_rate,
+                                  channels=2 if args.stereo else 1)
     else:
-        write, close = wav_sink(args.out, audio_rate)
+        write, close = wav_sink(args.out, audio_rate,
+                                channels=2 if args.stereo else 1)
     radio = None
     if args.inp.startswith("rtl_tcp://"):
         from sdr_tpu.io import RtlTcpParams, rtl_tcp_source

@@ -32,8 +32,10 @@ def audio_available() -> bool:
     return _import_sd() is not None
 
 
-def audio_sink(sample_rate: int = 48000, queue_blocks: int = 2):
-    """Return (write, close) playing mono float blocks in [-1, 1].
+def audio_sink(sample_rate: int = 48000, queue_blocks: int = 2,
+               channels: int = 1):
+    """Return (write, close) playing float blocks in [-1, 1] — mono
+    ``[n]`` or planar ``[channels, n]`` (stereo decode output).
 
     Matches ``pulseAudioSink`` (Pulse.hs:18-23): playback runs on its own
     thread behind a bounded mailbox (``queue_blocks`` deep — the reference
@@ -49,7 +51,7 @@ def audio_sink(sample_rate: int = 48000, queue_blocks: int = 2):
             "sounddevice not installed; use sdr_tpu.io.wav_sink for "
             "recorded output on headless hosts")
     q: "queue.Queue" = queue.Queue(maxsize=queue_blocks)
-    stream = sd.OutputStream(samplerate=sample_rate, channels=1,
+    stream = sd.OutputStream(samplerate=sample_rate, channels=channels,
                              dtype="float32")
     stream.start()
     done = object()
@@ -67,8 +69,10 @@ def audio_sink(sample_rate: int = 48000, queue_blocks: int = 2):
     t.start()
 
     def write(block):
-        q.put(np.ascontiguousarray(np.asarray(block, dtype=np.float32)
-                                   ).reshape(-1, 1))
+        b = np.asarray(block, dtype=np.float32)
+        if channels > 1:
+            b = b.T                      # [channels, n] -> frames
+        q.put(np.ascontiguousarray(b.reshape(-1, channels)))
 
     def close():
         q.put(done)

@@ -118,19 +118,25 @@ def block_sink(path, fmt: Optional[str] = None):
     return write, fh.close
 
 
-def wav_sink(path, sample_rate: int = 48000):
-    """A consumer writing mono 16-bit WAV — the headless stand-in for the
-    reference's PulseAudio sink (Pulse.hs:18-33, 48 kHz mono float there).
+def wav_sink(path, sample_rate: int = 48000, channels: int = 1):
+    """A consumer writing 16-bit WAV — the headless stand-in for the
+    reference's PulseAudio sink (Pulse.hs:18-33, 48 kHz mono float there;
+    ``channels=2`` for the stereo decoder's [2, n] blocks).
 
-    Returns (write, close); ``write`` takes float blocks in [-1, 1].
+    Returns (write, close); ``write`` takes float blocks in [-1, 1] —
+    mono ``[n]`` or planar ``[channels, n]`` (interleaved on write).
     """
     wf = wave.open(str(path), "wb")
-    wf.setnchannels(1)
+    wf.setnchannels(channels)
     wf.setsampwidth(2)
     wf.setframerate(sample_rate)
 
     def write(block):
         b = np.asarray(block, dtype=np.float64)
+        if channels > 1:
+            if b.ndim != 2 or b.shape[0] != channels:
+                raise ValueError(f"expected [{channels}, n] block")
+            b = b.T.reshape(-1)  # interleave frames
         pcm = np.clip(np.round(b * 32767), -32768, 32767).astype("<i2")
         wf.writeframes(pcm.tobytes())
 

@@ -18,6 +18,7 @@ from sdr_tpu.stream.ops import (  # noqa: F401
     Channelize,
     FmMod,
     Iir,
+    StereoDecode,
 )
 from sdr_tpu.stream.pipeline import Pipeline  # noqa: F401
 from sdr_tpu.stream.rate import rate, Timer  # noqa: F401

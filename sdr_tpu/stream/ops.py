@@ -38,7 +38,7 @@ __all__ = [
     "IqConvertU8", "IqConvertI16", "U8FrontEnd", "Fir", "FmDemod",
     "AmDemod", "Agc",
     "DcBlocker", "Scale", "Mix", "Map", "FftStream", "Channelize",
-    "FmMod", "Iir",
+    "FmMod", "Iir", "StereoDecode",
 ]
 
 
@@ -54,6 +54,7 @@ class IqConvertU8(StreamOp):
 
     def __init__(self, planar: bool = False):
         self.planar = planar
+        self.extra_block_dims = 1 if planar else 0
 
     def out_len(self, n_in):
         if n_in % 2:
@@ -80,6 +81,7 @@ class IqConvertI16(StreamOp):
 
     def __init__(self, planar: bool = False):
         self.planar = planar
+        self.extra_block_dims = 1 if planar else 0
 
     def out_len(self, n_in):
         if n_in % 2:
@@ -118,6 +120,7 @@ class U8FrontEnd(StreamOp):
         self.impl = impl
         self.precision = precision
         self.q_out = int(q_out)
+        self.extra_block_dims = 1          # the [2] plane axis
 
     def out_len(self, n_in):
         if n_in % 2:
@@ -450,6 +453,7 @@ class FmDemod(StreamOp):
     def __init__(self, planar: bool = False, atan2: str = "exact"):
         self.planar = planar
         self.atan2 = atan2
+        self.extra_block_dims = -1 if planar else 0   # consumes [2] plane
 
     def out_dtype(self, in_dtype):
         return jnp.float32
@@ -472,6 +476,101 @@ class FmDemod(StreamOp):
     def shard_carry(self, x, axis_name, initial=None):
         from sdr_tpu.parallel.halo import left_halo, substitute_first
         h = left_halo(x, 1, axis_name)[..., 0]
+        return substitute_first(h, initial, axis_name)
+
+
+class StereoDecode(StreamOp):
+    """Broadcast-FM stereo multiplex decoder (beyond the reference —
+    its example receiver is mono, examples/fm/fm.hs).
+
+    Input: the demodulated composite ``[..., n]`` f32 at ``fs`` (the FM
+    chain's post-decimation rate, 160 kS/s by default), containing
+    mono (L+R) 0-15 kHz, the 19 kHz pilot, and (L-R) DSB on a 38 kHz
+    subcarrier.  Output: ``[..., 2, n]`` — L and R planes at the same
+    rate, which the existing ``Fir.resampler``/``Fir.filter`` audio
+    stages batch over unchanged.
+
+    Open-loop carrier recovery (no PLL, so the op stays a pure block
+    transform): bandpass the pilot, SQUARE it (cos²θ = (1+cos 2θ)/2),
+    bandpass at 38 kHz, and normalize by a 65-tap moving average of the
+    squared pilot — every step is a centered odd-length FIR or an
+    elementwise op, so blockwise output equals the one-shot run exactly
+    and time sharding needs only a 192-sample halo (same invariant as
+    ``Fir``).  Outputs lag the composite by 96 samples (0.6 ms at the
+    default rate): the group delay of the pilot->carrier->difference
+    filter cascade.
+
+    ``separation_gain=2`` matches the standard multiplex scaling
+    (half-amplitude subcarrier): L = mono + 2*diff, R = mono - 2*diff.
+    """
+
+    H = 192                     # carry: trailing composite samples
+    K = 65                      # all internal FIRs (odd -> integer delay)
+    extra_block_dims = 1        # the [2] L/R plane axis (time stays -1)
+
+    def __init__(self, fs: float = 160_000.0, separation_gain: float = 2.0):
+        ny = fs / 2
+        if ny <= 41_000:
+            raise ValueError(f"composite rate {fs} too low for the "
+                             "38 kHz subcarrier")
+        K = self.K
+        # transition widths are sized to what K=65 taps can actually
+        # deliver (~4/K of Nyquist): the pilot bandpass only needs to
+        # separate 19 kHz from mono (<=15 kHz) and DSB (>=23 kHz); the
+        # 38 kHz bandpass only needs to kill the squared pilot's DC term
+        try:
+            self.bp19 = design.remez(
+                K, [0, 15_300, 18_300, 19_700, 22_700, ny], [0, 1, 0],
+                fs=fs)
+            self.bp38 = design.remez(
+                K, [0, 24_000, 34_000, 42_000, 52_000, ny], [0, 1, 0],
+                fs=fs)
+            self.lp15 = design.remez(K, [0, 15_000, 19_000, ny], [1, 0],
+                                     fs=fs)
+        except Exception:  # scipy unavailable: windowed-sinc fallback
+            ws, h = design.windowed_sinc, design.hamming
+            self.bp19 = ws(K, 21_000 / ny, h) - ws(K, 17_000 / ny, h)
+            self.bp38 = ws(K, 46_000 / ny, h) - ws(K, 30_000 / ny, h)
+            self.lp15 = ws(K, 15_000 / ny, h)
+        self.avg = np.full(K, 1.0 / K, dtype=np.float32)
+        self.gain = float(separation_gain)
+
+    def out_len(self, n_in):
+        return n_in
+
+    def out_dtype(self, in_dtype):
+        return jnp.float32
+
+    def map_batch_shape(self, batch_shape):
+        return batch_shape + (2,)
+
+    def init_carry(self, n_in, in_dtype, batch_shape=()):
+        return jnp.zeros(batch_shape + (self.H,), dtype=jnp.float32)
+
+    def apply(self, carry, x):
+        n = x.shape[-1]
+        xe = jnp.concatenate([carry, x], axis=-1)        # [.., H + n]
+        nt = xe.shape[-1]
+        d = (self.K - 1) // 2                            # 32
+        # centered-FIR index algebra: fir_filter output m is centered at
+        # input position m + d; each cascade stage shifts the center
+        pilot = fir.fir_filter(self.bp19, xe, nt - 2 * d)     # center +32
+        sq = pilot * pilot                               # A^2/2 (1+cos2θ)
+        car = fir.fir_filter(self.bp38, sq, nt - 4 * d)       # center +64
+        norm = fir.fir_filter(self.avg, sq, nt - 4 * d)       # center +64
+        car = car / jnp.maximum(norm, 1e-9)              # ~unit cos 2θ
+        prod = xe[..., 2 * d: 2 * d + nt - 4 * d] * car  # aligned +64
+        diff = fir.fir_filter(self.lp15, prod, nt - 6 * d)    # center +96
+        mono = fir.fir_filter(self.lp15, xe, nt - 2 * d)      # center +32
+        # emit positions [H-96, H+n-96): n samples, 96-sample latency
+        m = mono[..., self.H - 4 * d: self.H - 4 * d + n]
+        s = diff[..., :n] * self.gain
+        y = jnp.stack([m + s, m - s], axis=-2)
+        return xe[..., nt - self.H:], y
+
+    def shard_carry(self, x, axis_name, initial=None):
+        from sdr_tpu.parallel.halo import left_halo, substitute_first
+        h = left_halo(x, self.H, axis_name)
         return substitute_first(h, initial, axis_name)
 
 
