@@ -9,6 +9,7 @@ remez(50,[0 .08 .125 1]), remez(30,[0 .1 .3 1]), remez(63,[0 .3125 .39 1]))
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from sdr_tpu.ops import design
@@ -36,7 +37,8 @@ def fm_taps():
 def fm_chain(volume: float = 0.2, method: str = "auto",
              planar: bool = False, front: str = "exact",
              front_precision: str = "s16", atan2: str = "poly",
-             stereo: bool = False, fs_in: float = 1_280_000.0):
+             stereo: bool = False, fs_in: float = 1_280_000.0,
+             deemphasis: float | None = None):
     """Broadcast FM receiver ops (config #1; examples/fm/fm.hs:32-41):
     u8 IQ -> decimate 8 -> FM demod -> 3/10 resample -> audio FIR -> volume.
 
@@ -66,6 +68,12 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
     the demod splits L/R at the composite rate, and the existing
     resampler/audio stages batch over the [2] channel axis unchanged —
     output blocks are ``[2, n]`` at 48 kS/s.
+
+    ``deemphasis``: RC time constant in seconds (75e-6 in the Americas,
+    50e-6 in Europe) — adds the standard broadcast de-emphasis IIR at
+    the audio rate (exact cross-block state; batches over the stereo
+    axis).  ``None`` (default) omits it, matching the reference's
+    example chain.
     """
     rf, ars, afl = fm_taps()
     if front == "auto":
@@ -74,6 +82,12 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
     back = [Fir.resampler(ars, 3, 10, method=method),
             Fir.filter(afl, method=method),
             Scale(volume)]
+    if deemphasis is not None:
+        from sdr_tpu.stream import Iir
+        from sdr_tpu.ops.iir import deemphasis_taps
+        audio_fs = fs_in / 8 * 3 / 10
+        b, a = deemphasis_taps(audio_fs, deemphasis)
+        back.insert(2, Iir(np.concatenate([b, a])))
     if stereo:
         from sdr_tpu.stream import StereoDecode
         back = [StereoDecode(fs=fs_in / 8), *back]

@@ -330,3 +330,40 @@ def test_waterfall_ansi_rows():
     assert len(lines) == 4 and all(len(l) == 64 for l in lines)
     assert lines[0][100 * 64 // 256] == "@"
     assert lines[0].count("@") == 1
+
+
+def test_fm_chain_deemphasis_response():
+    """fm_chain(deemphasis=75e-6) must attenuate per the RC curve:
+    |H(f2)|/|H(f1)| = sqrt((1+(2*pi*f1*tau)^2)/(1+(2*pi*f2*tau)^2))."""
+    import math
+    import numpy as np
+    import jax.numpy as jnp
+    from sdr_tpu.apps.chains import fm_chain
+    from sdr_tpu.stream import Pipeline
+    fs, n = 1_280_000, 163_840 * 4
+    f1, f2, tau = 1_000.0, 5_000.0, 75e-6
+    t = np.arange(n) / fs
+    audio = np.sin(2 * np.pi * f1 * t) + 0.5 * np.sin(2 * np.pi * f2 * t)
+    iq = 0.9 * np.exp(1j * (2 * np.pi * 75e3 * np.cumsum(audio) / fs))
+    raw = np.empty(2 * n, np.uint8)
+    raw[0::2] = np.clip(np.round(iq.real * 128 + 128), 0, 255)
+    raw[1::2] = np.clip(np.round(iq.imag * 128 + 128), 0, 255)
+
+    def run(de):
+        p = Pipeline(fm_chain(deemphasis=de), block_in=163_840,
+                     in_dtype=jnp.uint8)
+        _, y = p.process(raw)
+        return np.asarray(y)[2000:]
+
+    def tone(x, f):
+        m = len(x)
+        k = int(round(f * m / 48_000))
+        X = np.abs(np.fft.rfft(x * np.hanning(m)))
+        return X[max(k - 2, 0): k + 3].max()
+
+    flat, de = run(None), run(tau)
+    measured = (tone(de, f2) / tone(de, f1)) / (tone(flat, f2)
+                                                / tone(flat, f1))
+    expect = math.sqrt((1 + (2 * math.pi * f1 * tau) ** 2)
+                       / (1 + (2 * math.pi * f2 * tau) ** 2))
+    assert abs(measured - expect) < 0.05, (measured, expect)
