@@ -68,11 +68,16 @@ def main(argv=None):
                     help="ingest via the C++ ring-buffer loader")
     ap.add_argument("--stereo", action="store_true",
                     help="decode the stereo multiplex (L/R WAV out)")
+    ap.add_argument("--deemphasis", type=float, default=None,
+                    metavar="TAU",
+                    help="broadcast de-emphasis time constant in seconds "
+                         "(75e-6 Americas, 50e-6 Europe; default off)")
     args = ap.parse_args(argv)
 
     audio_rate = args.rate // 8 * 3 // 10
     pipe = Pipeline(fm_chain(args.volume, args.method, front=args.front,
-                             stereo=args.stereo, fs_in=float(args.rate)),
+                             stereo=args.stereo, fs_in=float(args.rate),
+                             deemphasis=args.deemphasis),
                     block_in=args.block, in_dtype=jnp.uint8)
     if args.audio:
         from sdr_tpu.io import audio_sink
