@@ -70,9 +70,11 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
     output blocks are ``[2, n]`` at 48 kS/s.
 
     ``deemphasis``: RC time constant in seconds (75e-6 in the Americas,
-    50e-6 in Europe) — adds the standard broadcast de-emphasis IIR at
-    the audio rate (exact cross-block state; batches over the stereo
-    axis).  ``None`` (default) omits it, matching the reference's
+    50e-6 in Europe) — adds the standard broadcast de-emphasis at the
+    audio rate as a truncated-impulse-response FIR (64 taps; the
+    single-pole response decays in ~4 samples at 48 kHz, so truncation
+    error is ~1e-8 — and unlike the Iir form it time-shards and batches
+    exactly).  ``None`` (default) omits it, matching the reference's
     example chain.
     """
     rf, ars, afl = fm_taps()
@@ -83,11 +85,13 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
             Fir.filter(afl, method=method),
             Scale(volume)]
     if deemphasis is not None:
-        from sdr_tpu.stream import Iir
-        from sdr_tpu.ops.iir import deemphasis_taps
+        from sdr_tpu.ops.iir import biquad, deemphasis_taps
         audio_fs = fs_in / 8 * 3 / 10
         b, a = deemphasis_taps(audio_fs, deemphasis)
-        back.insert(2, Iir(np.concatenate([b, a])))
+        impulse = np.zeros(64, dtype=np.float32)
+        impulse[0] = 1.0
+        h = np.asarray(biquad(b, a, impulse), dtype=np.float32)
+        back.insert(2, Fir.filter(h, method=method))
     if stereo:
         from sdr_tpu.stream import StereoDecode
         back = [StereoDecode(fs=fs_in / 8), *back]

@@ -11,8 +11,9 @@ RTLSDRStream.hs:54-68):
     python -m sdr_tpu.apps.fm --in rtl_tcp://radiohost:1234 \
         --freq 90.2M --rate 1280K --block 1310720
 
-Reads RTL-SDR-format u8 interleaved IQ, writes 48 kHz mono WAV (or plays
-live with --audio when the optional sounddevice backend is present).
+Reads RTL-SDR-format u8 interleaved IQ, writes 48 kHz WAV — mono, or
+stereo L/R with --stereo (multiplex decode) — or plays live with
+--audio when the optional sounddevice backend is present.
 """
 
 from __future__ import annotations
@@ -74,11 +75,13 @@ def main(argv=None):
                          "(75e-6 Americas, 50e-6 Europe; default off)")
     args = ap.parse_args(argv)
 
-    audio_rate = args.rate // 8 * 3 // 10
     pipe = Pipeline(fm_chain(args.volume, args.method, front=args.front,
                              stereo=args.stereo, fs_in=float(args.rate),
                              deemphasis=args.deemphasis),
                     block_in=args.block, in_dtype=jnp.uint8)
+    # derive the audio rate from the pipeline's own static rate
+    # propagation instead of re-encoding the chain's factors here
+    audio_rate = args.rate * pipe.block_out // pipe.block_in
     if args.audio:
         from sdr_tpu.io import audio_sink
         write, close = audio_sink(audio_rate,

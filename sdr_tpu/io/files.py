@@ -137,6 +137,10 @@ def wav_sink(path, sample_rate: int = 48000, channels: int = 1):
             if b.ndim != 2 or b.shape[0] != channels:
                 raise ValueError(f"expected [{channels}, n] block")
             b = b.T.reshape(-1)  # interleave frames
+        elif b.ndim != 1:
+            raise ValueError(
+                "mono sink got a multi-channel block — pass channels= "
+                "to wav_sink")
         pcm = np.clip(np.round(b * 32767), -32768, 32767).astype("<i2")
         wf.writeframes(pcm.tobytes())
 

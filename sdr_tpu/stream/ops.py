@@ -508,11 +508,15 @@ class StereoDecode(StreamOp):
     K = 65                      # all internal FIRs (odd -> integer delay)
     extra_block_dims = 1        # the [2] L/R plane axis (time stays -1)
 
-    def __init__(self, fs: float = 160_000.0, separation_gain: float = 2.0):
+    def __init__(self, fs: float = 160_000.0, separation_gain: float = 2.0,
+                 pilot_floor: float = 1e-4):
         ny = fs / 2
-        if ny <= 41_000:
-            raise ValueError(f"composite rate {fs} too low for the "
-                             "38 kHz subcarrier")
+        if ny <= 53_000:
+            # the DSB upper edge is 53 kHz and the hardcoded band-edge
+            # table below reaches 52 kHz — rates at or under 106 kS/s
+            # cannot carry (or cleanly design for) the multiplex
+            raise ValueError(f"composite rate {fs:.0f} too low for the "
+                             "stereo multiplex (needs > 106 kS/s)")
         K = self.K
         # transition widths are sized to what K=65 taps can actually
         # deliver (~4/K of Nyquist): the pilot bandpass only needs to
@@ -527,13 +531,14 @@ class StereoDecode(StreamOp):
                 fs=fs)
             self.lp15 = design.remez(K, [0, 15_000, 19_000, ny], [1, 0],
                                      fs=fs)
-        except Exception:  # scipy unavailable: windowed-sinc fallback
+        except ImportError:  # scipy unavailable: windowed-sinc fallback
             ws, h = design.windowed_sinc, design.hamming
             self.bp19 = ws(K, 21_000 / ny, h) - ws(K, 17_000 / ny, h)
             self.bp38 = ws(K, 46_000 / ny, h) - ws(K, 30_000 / ny, h)
             self.lp15 = ws(K, 15_000 / ny, h)
         self.avg = np.full(K, 1.0 / K, dtype=np.float32)
         self.gain = float(separation_gain)
+        self.pilot_floor = float(pilot_floor)
 
     def out_len(self, n_in):
         return n_in
@@ -558,12 +563,19 @@ class StereoDecode(StreamOp):
         sq = pilot * pilot                               # A^2/2 (1+cos2θ)
         car = fir.fir_filter(self.bp38, sq, nt - 4 * d)       # center +64
         norm = fir.fir_filter(self.avg, sq, nt - 4 * d)       # center +64
-        car = car / jnp.maximum(norm, 1e-9)              # ~unit cos 2θ
+        # Wiener-style soft normalization: ~car/norm when the pilot power
+        # is well above ``pilot_floor``, rolling smoothly to ZERO (mono
+        # blend) as it vanishes — a hard division would amplify noise
+        # into full-scale garbage on pilot-free (mono) signals.  A true
+        # pilot-lock detector is future work; with no pilot at all the
+        # difference channel is simply muted.
+        eps2 = self.pilot_floor ** 2
+        car = car * norm / (norm * norm + eps2)
         prod = xe[..., 2 * d: 2 * d + nt - 4 * d] * car  # aligned +64
         diff = fir.fir_filter(self.lp15, prod, nt - 6 * d)    # center +96
-        mono = fir.fir_filter(self.lp15, xe, nt - 2 * d)      # center +32
-        # emit positions [H-96, H+n-96): n samples, 96-sample latency
-        m = mono[..., self.H - 4 * d: self.H - 4 * d + n]
+        # mono: compute exactly the n emitted outputs (centers
+        # [H-96, H+n-96)) via the zero-copy start origin
+        m = fir.fir_filter(self.lp15, xe, n, start=self.H - 4 * d)
         s = diff[..., :n] * self.gain
         y = jnp.stack([m + s, m - s], axis=-2)
         return xe[..., nt - self.H:], y
@@ -596,9 +608,17 @@ class Iir(StreamOp):
     """Streaming cascaded-biquad IIR (ops/iir.py) with exact cross-block
     state: each section carries its last two inputs and outputs.
 
+    Not time-shardable (``time_shardable = False`` -> runners fail fast
+    with an actionable error): the exact sharded form needs a prefix
+    composition of per-shard 2nd-order transition matrices, which is not
+    implemented.  For the common de-emphasis case use the truncated-FIR
+    equivalent ``fm_chain(deemphasis=...)`` builds instead — it shards.
+
     De-emphasis, notch and equalizer filters for receive chains — the
     generalization of the reference's one hard-coded IIR (dcBlocker).
     """
+
+    time_shardable = False
 
     def __init__(self, sos):
         sos = np.asarray(sos, dtype=np.float32)

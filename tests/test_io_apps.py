@@ -367,3 +367,24 @@ def test_fm_chain_deemphasis_response():
     expect = math.sqrt((1 + (2 * math.pi * f1 * tau) ** 2)
                        / (1 + (2 * math.pi * f2 * tau) ** 2))
     assert abs(measured - expect) < 0.05, (measured, expect)
+
+
+def test_deemphasis_batched_and_sharded_paths():
+    """The FIR-form de-emphasis must run through the block-parallel and
+    time-sharded runners (the Iir form could not time-shard)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sdr_tpu.apps.chains import fm_chain
+    from sdr_tpu import parallel
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.integers(0, 256, 163_840 * 4, dtype=np.uint8))
+    ops = fm_chain(deemphasis=75e-6, front="quantized", method="conv")
+    y_b = np.asarray(parallel.run_time_batched(ops, raw, 4))
+    y_s = np.asarray(parallel.run_time_sharded(
+        fm_chain(deemphasis=75e-6, front="quantized", method="conv"),
+        parallel.time_mesh(4), raw))
+    np.testing.assert_allclose(y_b, y_s, atol=1e-5)
+    y2 = np.asarray(parallel.run_time_sharded(
+        fm_chain(stereo=True, deemphasis=75e-6),
+        parallel.time_mesh(4), raw))
+    assert y2.shape[0] == 2
