@@ -81,7 +81,8 @@ def main(argv=None):
                     block_in=args.block, in_dtype=jnp.uint8)
     # derive the audio rate from the pipeline's own static rate
     # propagation instead of re-encoding the chain's factors here
-    audio_rate = args.rate * pipe.block_out // pipe.block_in
+    # (block_in counts u8 ITEMS — two per complex sample at args.rate)
+    audio_rate = 2 * args.rate * pipe.block_out // pipe.block_in
     if args.audio:
         from sdr_tpu.io import audio_sink
         write, close = audio_sink(audio_rate,
