@@ -116,8 +116,13 @@ def test_parse_size_rejects():
 # --- app CLIs end-to-end (subprocess on CPU backend) ---
 
 def _run_app(args, tmp_path):
-    env = dict(__import__("os").environ)
+    import os
+    env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # the app runs with cwd=tmp_path; make the repo importable regardless
+    # of whether the caller's environment already had it on PYTHONPATH
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
         "import sys; from sdr_tpu.apps.%s import main; sys.exit(main(%r))"
