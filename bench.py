@@ -554,7 +554,10 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
          lambda i, x: convert.scale(1.0, x + x * x * 1e-12), (xr32,),
          chained=True)
     case("fft_1024_batch",
-         lambda i, x: jnp.abs(fftops.fft(pr(i, x).reshape(-1, 1024))),
+         lambda i, x: jnp.abs(fftops.fft(pr(i, x).reshape(-1, 1024),
+                                         method="xla")), (xc0,))
+    case("fft_1024_mxu",
+         lambda i, x: jnp.abs(fftops.fft_mxu(pr(i, x).reshape(-1, 1024))),
          (xc0,))
     # variant matrix: {filter, decimate} x {real, complex} x methods.
     # Operands are BATCHED [32, block/32] — the shape every chain

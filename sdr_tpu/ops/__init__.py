@@ -29,6 +29,8 @@ from sdr_tpu.ops.demod import (fm_demod, fm_demod_planar,  # noqa: F401
 from sdr_tpu.ops.scans import dc_blocker, agc, linear_scan  # noqa: F401
 from sdr_tpu.ops.fftops import (  # noqa: F401
     fft,
+    fft_mxu,
+    fft_mxu_planar,
     rfft,
     frame,
     spectrogram,

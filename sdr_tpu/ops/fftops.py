@@ -13,22 +13,130 @@ pipeline (BASELINE config #3, the waterfall).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from sdr_tpu.ops import design
 
-__all__ = ["fft", "rfft", "frame", "spectrogram", "waterfall_image"]
+__all__ = ["fft", "rfft", "frame", "spectrogram", "waterfall_image",
+           "fft_mxu", "fft_mxu_planar"]
 
 
-def fft(x, axis: int = -1):
+# ---------------------------------------------------------------------------
+# MXU four-step FFT: the DFT as two batched matmuls + a twiddle multiply.
+#
+# jnp.fft.fft lowers to a VPU-bound XLA custom call on TPU (measured
+# 1.3 GS/s at n=1024 batched — a fraction of the HBM bound).  The
+# Cooley-Tukey four-step factorization N = N1*N2 turns the same DFT into
+# dense [N1,N1] and [N2,N2] matrix products over a [N1, N2] view of each
+# transform — exactly MXU work.  It spends ~6.4x the FLOPs of an FFT at
+# n=1024 (2N(N1+N2) vs N log2 N complex MACs) but the systolic array has
+# FLOPs to burn and the op becomes memory-bound instead of
+# custom-call-bound.
+#
+# Derivation (x[n], n = n1*N2 + n2; X[k], k = k1 + N1*k2):
+#     X[k1 + N1*k2] = sum_n2 W_N^(n2 k1) W_N2^(n2 k2)
+#                       * sum_n1 x[n1*N2 + n2] W_N1^(n1 k1)
+# i.e. stage 1: B = F_N1 @ A   (A[n1, n2] = x, the row-major reshape)
+#      twiddle: C = B * W      (W[k1, n2] = W_N^(k1 n2))
+#      stage 2: X^T = C @ F_N2, read out transposed (k = k1 + N1*k2).
+#
+# Complex arithmetic runs PLANAR (separate real/imag f32 arrays, four real
+# matmuls per stage) — complex64 never reaches the matmuls, matching the
+# framework-wide layout rule (docs/DESIGN.md §2).
+# ---------------------------------------------------------------------------
+
+def _fft_factors(n: int) -> Optional[tuple]:
+    """Pick N1*N2 = n with both factors MXU-friendly, or None.
+
+    Factors below 8 waste the MXU's 8-sublane tiling; above 2048 the DFT
+    matrices start to rival the data.  Prefer the most square split
+    (minimizes N1+N2, the per-sample MAC count)."""
+    if n < 64:
+        return None
+    best = None
+    d = int(np.sqrt(n))
+    while d >= 8:
+        if n % d == 0 and n // d <= 2048:
+            best = (d, n // d)
+            break
+        d -= 1
+    return best
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_consts(n1: int, n2: int):
+    """(F1r, F1i, Wr, Wi, F2r, F2i) as float32 numpy (host, cached)."""
+    n = n1 * n2
+    k1 = np.arange(n1)
+    f1 = np.exp(-2j * np.pi * np.outer(k1, k1) / n1)
+    tw = np.exp(-2j * np.pi * np.outer(k1, np.arange(n2)) / n)
+    k2 = np.arange(n2)
+    f2 = np.exp(-2j * np.pi * np.outer(k2, k2) / n2)
+    return tuple(a.astype(np.float32)
+                 for a in (f1.real, f1.imag, tw.real, tw.imag,
+                           f2.real, f2.imag))
+
+
+def fft_mxu_planar(xr, xi, precision=jax.lax.Precision.HIGHEST):
+    """Four-step DFT over the last axis of planar float32 (re, im) arrays.
+
+    Returns planar ``(Xr, Xi)``.  Last-axis length must factor per
+    ``_fft_factors``; leading axes are batched.  This is the in-chain form
+    (planar pipelines call it without ever building complex64).
+    """
+    n = xr.shape[-1]
+    fac = _fft_factors(n)
+    if fac is None:
+        raise ValueError(f"fft_mxu: no MXU-friendly factorization of {n}")
+    n1, n2 = fac
+    f1r, f1i, wr, wi, f2r, f2i = (jnp.asarray(c) for c in _dft_consts(n1, n2))
+    lead = xr.shape[:-1]
+    ar = xr.reshape(lead + (n1, n2))
+    ai = xi.reshape(lead + (n1, n2))
+    dot = functools.partial(jnp.einsum, precision=precision,
+                            preferred_element_type=jnp.float32)
+    # stage 1: B = F1 @ A  (contract over n1)
+    br = dot("ij,...jm->...im", f1r, ar) - dot("ij,...jm->...im", f1i, ai)
+    bi = dot("ij,...jm->...im", f1r, ai) + dot("ij,...jm->...im", f1i, ar)
+    # twiddle: C = B * W  (elementwise [n1, n2], fuses into the matmuls)
+    cr = br * wr - bi * wi
+    ci = br * wi + bi * wr
+    # stage 2 + transposed readout: X^T[k2, k1] = sum_n2 F2[n2,k2] C[k1,n2]
+    xr_ = dot("nk,...in->...ki", f2r, cr) - dot("nk,...in->...ki", f2i, ci)
+    xi_ = dot("nk,...in->...ki", f2r, ci) + dot("nk,...in->...ki", f2i, cr)
+    return xr_.reshape(lead + (n,)), xi_.reshape(lead + (n,))
+
+
+def fft_mxu(x, axis: int = -1, precision=jax.lax.Precision.HIGHEST):
+    """Complex-in/complex-out wrapper over :func:`fft_mxu_planar`."""
+    x = jnp.moveaxis(x, axis, -1)
+    xr = x.real.astype(jnp.float32)
+    xi = (x.imag.astype(jnp.float32) if jnp.iscomplexobj(x)
+          else jnp.zeros_like(xr))
+    yr, yi = fft_mxu_planar(xr, xi, precision=precision)
+    return jnp.moveaxis(jax.lax.complex(yr, yi), -1, axis)
+
+
+def fft(x, axis: int = -1, method: str = "auto"):
     """Complex-to-complex DFT (unnormalized forward, FFTW convention).
 
     Reference: fftw' (FFT.hs:44-76).  Works batched over leading dims — the
     batched form subsumes ``fftwParallel`` (FFT.hs:118-168).
+
+    ``method``: 'xla' = jnp.fft custom call; 'mxu' = the four-step matmul
+    factorization (`fft_mxu`); 'auto' picks 'mxu' on TPU when the length
+    factors (see the fft rows of bench_kernels.json).
     """
+    if method == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        method = "mxu" if (on_tpu and _fft_factors(x.shape[axis])) else "xla"
+    if method == "mxu":
+        return fft_mxu(x, axis=axis)
     return jnp.fft.fft(x, axis=axis)
 
 

@@ -44,7 +44,10 @@ materializes the [P, M] window gather through HBM; the Pallas kernel is
 the same algebra done right, with windows staying in VMEM).  Strided
 (decimating) reads use a polyphase input split so bands stay dense.
 Complex samples with real taps (the RC kernel variants, filter.c:74)
-are handled by viewing complex as a [2, N] real batch.  NOTE the shape
+run on the conv paths directly over the INTERLEAVED float32 view of the
+complex64 buffer (dilated / channel-split kernels — ``_fir_conv_c``;
+the reference's own memory layout, with no deinterleave pass); the
+direct/pallas paths view complex as a [2, N] real batch.  NOTE the shape
 rule that dominates all of these (docs/DESIGN.md §2b): measure and run
 FIRs BATCHED ([32, n] blocks) — a single long 1-D conv degenerates
 ~100x on the TPU lowering.
@@ -244,6 +247,65 @@ def _fir_conv(taps_dev, x, num: int, factor: int, start: int = 0):
     return y.reshape(lead + (-1,))[..., :num]
 
 
+def _fir_conv_c(taps_np: np.ndarray, x, num: int, factor: int,
+                start: int = 0):
+    """Complex samples x real taps (the RC kernel variants, filter.c:74)
+    WITHOUT deinterleaving: the complex64 buffer is viewed as interleaved
+    float32 (re, im, re, im, ... — the reference's exact memory layout)
+    and both components are filtered by ONE conv.
+
+    For output m and component c (0=re, 1=im), the interleaved output
+    position p = 2m + c reads ``xi[2(start + m*factor) + c + 2k]``:
+
+      * factor == 1: every p is an output — a single stride-1 conv with
+        the taps RHS-DILATED by 2 (zero-stuffed kernel), output length
+        2*num, viewed back as complex64.  No transposes at all.
+      * factor > 1: a stride-2*factor conv with TWO output channels
+        (channel c's kernel holds taps at positions 2k + c); the [Q, 2]
+        -> [2Q] interleave is the same free relayout the polyphase
+        resampler uses.
+
+    This replaces the stack/rebuild planar view (two full HBM relayout
+    passes on the interleaved complex buffer) on the conv path —
+    measured 4-7x on the complex matrix rows (bench_kernels r2).
+    """
+    K = taps_np.shape[0]
+    xi = x.view(jnp.float32)                           # [..., 2N]
+    lead = x.shape[:-1]
+    n = xi.shape[-1]
+    lo = 2 * start
+    if factor == 1:
+        P = 2 * num
+        need = lo + P + 2 * (K - 1)
+        if n > need and (n - need) * 8 > n:
+            xi = xi[..., :need]
+            n = need
+        xb = xi.reshape((-1, 1, n))
+        w = jnp.asarray(taps_np).reshape((1, 1, K))
+        y = jax.lax.conv_general_dilated(
+            xb, w, window_strides=(1,), padding=[(-lo, max(0, need - n))],
+            rhs_dilation=(2,), dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32)
+        y = y.reshape(lead + (-1,))[..., :P]
+        return y.view(x.dtype)
+    Kmat = np.zeros((2, 1, 2 * K), dtype=np.float32)
+    Kmat[0, 0, 0::2] = taps_np
+    Kmat[1, 0, 1::2] = taps_np
+    need = lo + (num - 1) * 2 * factor + 2 * K
+    if n > need and (n - need) * 8 > n:
+        xi = xi[..., :need]
+        n = need
+    xb = xi.reshape((-1, 1, n))
+    y = jax.lax.conv_general_dilated(
+        xb, jnp.asarray(Kmat), window_strides=(2 * factor,),
+        padding=[(-lo, max(0, need - n))],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)             # [B, 2, >=num]
+    y = y[..., :num]
+    y = jnp.swapaxes(y, -1, -2).reshape(lead + (2 * num,))
+    return y.view(x.dtype)
+
+
 def _pick_method(method: str, num: int, factor: int, n_taps: int) -> str:
     if method != "auto":
         return method
@@ -257,6 +319,8 @@ def _pick_method(method: str, num: int, factor: int, n_taps: int) -> str:
 def _dispatch(taps_np: np.ndarray, x, num: int, factor: int, method: str,
               start: int = 0):
     method = _pick_method(method, num, factor, taps_np.shape[0])
+    if method == "conv" and jnp.iscomplexobj(x):
+        return _fir_conv_c(taps_np, x, num, factor, start)
     xr, rebuild = _as_real_batch(x)
     if method == "direct":
         y = _fir_direct(jnp.asarray(taps_np), xr, num, factor, start)
@@ -365,9 +429,10 @@ def fir_resample(taps, interpolation: int, decimation: int, x,
         y = jnp.einsum("...mk,mk->...m", W, rows,
                        preferred_element_type=jnp.float32)
         return rebuild(y), end_offset
-    xr, rebuild = _as_real_batch(x)
-    return (rebuild(_resample_conv(taps_np, I, D, xr, offset, num, start)),
-            end_offset)
+    if jnp.iscomplexobj(x):
+        return _resample_conv_c(taps_np, I, D, x, offset, num,
+                                start), end_offset
+    return _resample_conv(taps_np, I, D, x, offset, num, start), end_offset
 
 
 def _resample_conv(taps_np: np.ndarray, I: int, D: int, x, offset: int,
@@ -422,3 +487,45 @@ def _resample_conv(taps_np: np.ndarray, I: int, D: int, x, offset: int,
     y = y[..., :Q]
     y = jnp.swapaxes(y, -1, -2).reshape(lead + (Q * I,))
     return y[..., :num]
+
+
+def _resample_conv_c(taps_np: np.ndarray, I: int, D: int, x, offset: int,
+                     num: int, start: int = 0):
+    """Complex-input polyphase resampler on the INTERLEAVED float32 view
+    (see ``_fir_conv_c``): 2I output channels — channel j*2 + c computes
+    component c of phase j via the phase-j kernel zero-stuffed to
+    positions 2k + c — with stride 2D over the (re, im)-interleaved
+    buffer.  The [Q, 2I] -> [Q*2I] relayout IS the interleaved complex
+    output, viewed back as complex64 with no gather or transpose pair.
+    """
+    table = prepare_phase_table(taps_np, I)            # [I, Kp]
+    Kp = table.shape[1]
+    J = min(I, num)
+    t_j = np.arange(I, dtype=np.int64) * D - offset
+    o_j = (-t_j) % I
+    i_j = (t_j + o_j) // I
+    i_min = int(i_j[:J].min())
+    L = int((i_j[:J] - i_min).max()) + Kp
+    Kmat = np.zeros((2 * I, 1, 2 * L), dtype=np.float32)
+    for j in range(J):
+        s = int(i_j[j]) - i_min
+        for c in (0, 1):
+            Kmat[2 * j + c, 0, 2 * s + c: 2 * (s + Kp): 2] = table[int(o_j[j])]
+    Q = -(-num // I)
+    lo = 2 * (i_min + start)
+    need = lo + (Q - 1) * 2 * D + 2 * L
+    xi = x.view(jnp.float32)                           # [..., 2N]
+    n = xi.shape[-1]
+    if n > need and (n - need) * 8 > n:
+        xi = xi[..., :need]
+        n = need
+    lead = x.shape[:-1]
+    xb = xi.reshape((-1, 1, xi.shape[-1]))
+    y = jax.lax.conv_general_dilated(
+        xb, jnp.asarray(Kmat), window_strides=(2 * D,),
+        padding=[(-lo, max(0, need - n))],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)            # [B, 2I, >=Q]
+    y = y[..., :Q]
+    y = jnp.swapaxes(y, -1, -2).reshape(lead + (Q * 2 * I,))
+    return y.view(x.dtype)[..., :num]

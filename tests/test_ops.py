@@ -257,6 +257,50 @@ def test_fft_matches_numpy(rng):
                                rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.parametrize("n", [64, 256, 1024, 4000, 4096])
+def test_fft_mxu_matches_numpy(rng, n):
+    """The four-step matmul DFT must agree with the FFT it replaces, for
+    square, rectangular, and non-power-of-two factorizations."""
+    x = (rng.normal(size=(3, n))
+         + 1j * rng.normal(size=(3, n))).astype(np.complex64)
+    ref = np.fft.fft(x)
+    got = np.asarray(ops.fft_mxu(x))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-4 * scale)
+
+
+def test_fft_mxu_planar_axis_and_real(rng):
+    # planar form == complex form
+    x = (rng.normal(size=(2, 1024))
+         + 1j * rng.normal(size=(2, 1024))).astype(np.complex64)
+    yr, yi = ops.fft_mxu_planar(x.real.astype(np.float32),
+                                x.imag.astype(np.float32))
+    ref = np.fft.fft(x)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi), ref,
+                               rtol=0, atol=1e-4 * scale)
+    # non-default axis
+    xa = x.T.copy()
+    np.testing.assert_allclose(np.asarray(ops.fft_mxu(xa, axis=0)),
+                               np.fft.fft(xa, axis=0),
+                               rtol=0, atol=1e-4 * scale)
+    # real input promotes like np.fft.fft
+    r = rng.normal(size=256).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(ops.fft_mxu(r)), np.fft.fft(r),
+                               rtol=0, atol=1e-4 * np.abs(np.fft.fft(r)).max())
+
+
+def test_fft_mxu_rejects_unfactorable():
+    with pytest.raises(ValueError):
+        ops.fft_mxu(np.zeros(61, np.complex64))  # prime
+    with pytest.raises(ValueError):
+        ops.fft_mxu(np.zeros(32, np.complex64))  # too small
+    # fft(method='auto') falls back to the custom call for those sizes
+    x = np.ones(61, np.complex64)
+    np.testing.assert_allclose(np.asarray(ops.fft(x)), np.fft.fft(x),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_rfft_matches_numpy(rng):
     x = rng.normal(size=512).astype(np.float32)
     np.testing.assert_allclose(np.asarray(ops.rfft(x)), np.fft.rfft(x),
