@@ -542,17 +542,18 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
     case("convert_u8_planar",
          lambda i, r: convert.iq_u8_to_planar(r + i.astype(jnp.uint8)),
          (rawb,), n=nb)
-    # scale + dc_blocker produce same-shape outputs: time them CHAINED
-    # (output feeds the next iteration through a barrier) — the fold form
-    # lets XLA fuse the whole loop into one pass and measures nothing.
-    # XLA collapses LINEAR chains (scalar multiplies, even flip-affine
-    # mixes) straight through optimization_barrier, i.e. standalone
-    # `scale` does not exist post-XLA — the row records the one-pass
-    # elementwise memory rate scale rides, via a chained QUADRATIC
-    # (composition grows degree, so no algebraic collapse is possible).
+    # scale: XLA collapses ANY algebraically-composable same-shape chain
+    # of it — linear chains, quadratic compositions, flips — straight
+    # through optimization_barrier, and UNCHAINED sibling iterations
+    # fuse into one traversal of the shared operand (measured 667 GS/s
+    # = 2.7 TB/s "read rate", i.e. nothing).  A standalone scale does
+    # not exist post-XLA; the row records the one-r+w-pass elementwise
+    # rate scale rides, via a chained PIECEWISE-linear step (max chains
+    # have exponentially many pieces, no closed composition for the
+    # simplifier to take).
     case("scale",
-         lambda i, x: convert.scale(1.0, x + x * x * 1e-12), (xr32,),
-         chained=True)
+         lambda i, x: convert.scale(1.0000001, jnp.maximum(x, 0.999 * x)),
+         (xr32,), case_iters=256, chained=True)
     case("fft_1024_batch",
          lambda i, x: jnp.abs(fftops.fft(pr(i, x).reshape(-1, 1024),
                                          method="xla")), (xc0,))

@@ -44,10 +44,14 @@ materializes the [P, M] window gather through HBM; the Pallas kernel is
 the same algebra done right, with windows staying in VMEM).  Strided
 (decimating) reads use a polyphase input split so bands stay dense.
 Complex samples with real taps (the RC kernel variants, filter.c:74)
-run on the conv paths directly over the INTERLEAVED float32 view of the
-complex64 buffer (dilated / channel-split kernels — ``_fir_conv_c``;
-the reference's own memory layout, with no deinterleave pass); the
-direct/pallas paths view complex as a [2, N] real batch.  NOTE the shape
+are viewed as a [2, N] real batch on the filter/decimate paths, and as
+the INTERLEAVED float32 view of the complex64 buffer on the resampler
+conv path (``_resample_conv_c``) — both variants were measured for both
+families (bench_kernels r2): interleaved wins the resampler 1.5x (1.33
+vs 0.86 GS/s, the planar I-channel conv is already relayout-bound) but
+LOSES filter/decimate 2.7-4.8x (0.34 vs 0.90 at k128 unit-stride, 1.7
+vs 8.2 at k51/d8 — doubling kernel width costs more than the planar
+stack's two relayout passes), so each family keeps its winner.  NOTE the shape
 rule that dominates all of these (docs/DESIGN.md §2b): measure and run
 FIRs BATCHED ([32, n] blocks) — a single long 1-D conv degenerates
 ~100x on the TPU lowering.
@@ -247,65 +251,6 @@ def _fir_conv(taps_dev, x, num: int, factor: int, start: int = 0):
     return y.reshape(lead + (-1,))[..., :num]
 
 
-def _fir_conv_c(taps_np: np.ndarray, x, num: int, factor: int,
-                start: int = 0):
-    """Complex samples x real taps (the RC kernel variants, filter.c:74)
-    WITHOUT deinterleaving: the complex64 buffer is viewed as interleaved
-    float32 (re, im, re, im, ... — the reference's exact memory layout)
-    and both components are filtered by ONE conv.
-
-    For output m and component c (0=re, 1=im), the interleaved output
-    position p = 2m + c reads ``xi[2(start + m*factor) + c + 2k]``:
-
-      * factor == 1: every p is an output — a single stride-1 conv with
-        the taps RHS-DILATED by 2 (zero-stuffed kernel), output length
-        2*num, viewed back as complex64.  No transposes at all.
-      * factor > 1: a stride-2*factor conv with TWO output channels
-        (channel c's kernel holds taps at positions 2k + c); the [Q, 2]
-        -> [2Q] interleave is the same free relayout the polyphase
-        resampler uses.
-
-    This replaces the stack/rebuild planar view (two full HBM relayout
-    passes on the interleaved complex buffer) on the conv path —
-    measured 4-7x on the complex matrix rows (bench_kernels r2).
-    """
-    K = taps_np.shape[0]
-    xi = x.view(jnp.float32)                           # [..., 2N]
-    lead = x.shape[:-1]
-    n = xi.shape[-1]
-    lo = 2 * start
-    if factor == 1:
-        P = 2 * num
-        need = lo + P + 2 * (K - 1)
-        if n > need and (n - need) * 8 > n:
-            xi = xi[..., :need]
-            n = need
-        xb = xi.reshape((-1, 1, n))
-        w = jnp.asarray(taps_np).reshape((1, 1, K))
-        y = jax.lax.conv_general_dilated(
-            xb, w, window_strides=(1,), padding=[(-lo, max(0, need - n))],
-            rhs_dilation=(2,), dimension_numbers=("NCH", "OIH", "NCH"),
-            preferred_element_type=jnp.float32)
-        y = y.reshape(lead + (-1,))[..., :P]
-        return y.view(x.dtype)
-    Kmat = np.zeros((2, 1, 2 * K), dtype=np.float32)
-    Kmat[0, 0, 0::2] = taps_np
-    Kmat[1, 0, 1::2] = taps_np
-    need = lo + (num - 1) * 2 * factor + 2 * K
-    if n > need and (n - need) * 8 > n:
-        xi = xi[..., :need]
-        n = need
-    xb = xi.reshape((-1, 1, n))
-    y = jax.lax.conv_general_dilated(
-        xb, jnp.asarray(Kmat), window_strides=(2 * factor,),
-        padding=[(-lo, max(0, need - n))],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)             # [B, 2, >=num]
-    y = y[..., :num]
-    y = jnp.swapaxes(y, -1, -2).reshape(lead + (2 * num,))
-    return y.view(x.dtype)
-
-
 def _pick_method(method: str, num: int, factor: int, n_taps: int) -> str:
     if method != "auto":
         return method
@@ -319,8 +264,6 @@ def _pick_method(method: str, num: int, factor: int, n_taps: int) -> str:
 def _dispatch(taps_np: np.ndarray, x, num: int, factor: int, method: str,
               start: int = 0):
     method = _pick_method(method, num, factor, taps_np.shape[0])
-    if method == "conv" and jnp.iscomplexobj(x):
-        return _fir_conv_c(taps_np, x, num, factor, start)
     xr, rebuild = _as_real_batch(x)
     if method == "direct":
         y = _fir_direct(jnp.asarray(taps_np), xr, num, factor, start)
