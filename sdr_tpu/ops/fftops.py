@@ -50,6 +50,13 @@ __all__ = ["fft", "rfft", "frame", "spectrogram", "waterfall_image",
 # framework-wide layout rule (docs/DESIGN.md §2).
 # ---------------------------------------------------------------------------
 
+# 'auto' only routes to the matmul DFT at sizes near the measured win
+# (n=1024, bench_kernels.json); beyond this the four-step's extra FLOPs
+# (~2*sqrt(n)/log2(n) vs an FFT) and [N1,N1]/[N2,N2] constants outgrow
+# the custom-call overhead it amortizes.
+_MXU_FFT_AUTO_MAX = 4096
+
+
 def _fft_factors(n: int) -> Optional[tuple]:
     """Pick N1*N2 = n with both factors MXU-friendly, or None.
 
@@ -130,11 +137,18 @@ def fft(x, axis: int = -1, method: str = "auto"):
 
     ``method``: 'xla' = jnp.fft custom call; 'mxu' = the four-step matmul
     factorization (`fft_mxu`); 'auto' picks 'mxu' on TPU when the length
-    factors (see the fft rows of bench_kernels.json).
+    factors AND is near the measured-win regime (bench_kernels.json has
+    mxu >> xla at n=1024; the four-step's FLOP overhead grows as
+    N1+N2 ~ 2*sqrt(n), so 'auto' is bounded at n <= 4096 — larger or
+    unmeasured sizes stay on the exact custom call; explicit
+    method='mxu' remains unbounded).
     """
+    x = jnp.asarray(x)
+    n = int(x.shape[axis])
     if method == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        method = "mxu" if (on_tpu and _fft_factors(x.shape[axis])) else "xla"
+        method = ("mxu" if (on_tpu and n <= _MXU_FFT_AUTO_MAX
+                            and _fft_factors(n)) else "xla")
     if method == "mxu":
         return fft_mxu(x, axis=axis)
     return jnp.fft.fft(x, axis=axis)

@@ -434,13 +434,24 @@ def _resample_conv(taps_np: np.ndarray, I: int, D: int, x, offset: int,
 
 def _resample_conv_c(taps_np: np.ndarray, I: int, D: int, x, offset: int,
                      num: int, start: int = 0):
-    """Complex-input polyphase resampler on the INTERLEAVED float32 view
-    (see ``_fir_conv_c``): 2I output channels — channel j*2 + c computes
-    component c of phase j via the phase-j kernel zero-stuffed to
-    positions 2k + c — with stride 2D over the (re, im)-interleaved
-    buffer.  The [Q, 2I] -> [Q*2I] relayout IS the interleaved complex
-    output, viewed back as complex64 with no gather or transpose pair.
+    """Complex-input polyphase resampler on the INTERLEAVED float32 view.
+
+    A complex64 buffer IS a (re, im)-interleaved float32 buffer, so the
+    resampler becomes ONE strided real conv over that view: 2I output
+    channels — channel j*2 + c computes component c of phase j via the
+    phase-j kernel zero-stuffed to positions 2k + c — with stride 2D.
+    The [Q, 2I] -> [Q*2I] relayout IS the interleaved complex output,
+    viewed back as complex64 with no gather or transpose pair.  (The
+    planar alternative — ``_as_real_batch`` + ``_resample_conv`` — was
+    measured 1.5x slower here; filter/decimate keep planar, see the
+    module docstring.)
+
+    Requires an 8-byte complex dtype for the float32 view; other complex
+    inputs (e.g. numpy complex128) take the planar path instead.
     """
+    if np.dtype(x.dtype).itemsize != 8:
+        xr, rebuild = _as_real_batch(x)
+        return rebuild(_resample_conv(taps_np, I, D, xr, offset, num, start))
     table = prepare_phase_table(taps_np, I)            # [I, Kp]
     Kp = table.shape[1]
     J = min(I, num)

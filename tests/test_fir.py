@@ -138,6 +138,23 @@ def test_resample_complex(rng, interp, decim):
     assert np.abs(np.asarray(got) - want).max() < TOL
 
 
+def test_resample_complex128_input(rng):
+    """Non-complex64 input must NOT hit the interleaved-float32 view.
+
+    Regression (ADVICE r2, high): numpy complex128 reinterpreted as 4
+    floats/element returned garbage on the conv path; it now takes the
+    planar real-batch path and must match the oracle like complex64 does.
+    """
+    interp, decim, size, ntaps = 3, 10, 2048, 64
+    x128 = (rand_complex(rng, size)).astype(np.complex128)
+    taps = rand_real(rng, ntaps)
+    num = fir.resample_output_count(size, ntaps, interp, decim, 0) - 4
+    want, _ = resample_oracle(taps, interp, decim, x128, 0, num)
+    got, _ = fir.fir_resample(taps, interp, decim, x128, 0, num,
+                              method="conv")
+    assert np.abs(np.asarray(got) - want).max() < TOL
+
+
 def test_resample_against_scipy_upfirdn(rng):
     """Cross-check the whole polyphase formulation against scipy.
 

@@ -257,6 +257,24 @@ def test_fft_matches_numpy(rng):
                                rtol=1e-4, atol=1e-3)
 
 
+def test_fft_accepts_sequence_and_bounds_auto(rng):
+    """Regression (ADVICE r2): 'auto' must not crash on plain sequences
+    (np.shape, not .shape), and must keep large factorable lengths on the
+    exact custom call instead of the matmul DFT."""
+    seq = [1.0, 2.0, 3.0, 4.0]
+    np.testing.assert_allclose(np.asarray(ops.fft(seq)), np.fft.fft(seq),
+                               rtol=1e-5, atol=1e-5)
+    # 2^20 factors as 1024*1024 (both <= 2048) but is far outside the
+    # measured-win regime — auto must stay exact (mxu at f32 on n=1M
+    # would be off by >> this tolerance, and 100x the FLOPs).
+    n = 1 << 20
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    ref = np.fft.fft(x)
+    got = np.asarray(ops.fft(x, method="auto"))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5 * scale)
+
+
 @pytest.mark.parametrize("n", [64, 256, 1024, 4000, 4096])
 def test_fft_mxu_matches_numpy(rng, n):
     """The four-step matmul DFT must agree with the FFT it replaces, for
