@@ -12,17 +12,27 @@ v5e-16, i.e. 625 MS/s per chip.  ``config`` pins the measurement so the
 number is reproducible: front end, FIR method, block count/size, and the
 second-run stability check.
 
-Structure (budgeted against BENCH_BUDGET_S, default 3000 s, so the whole
-script exits 0 inside the driver window even with cold compiles):
+Structure (budgeted against BENCH_BUDGET_S, default 1500 s — well inside
+the driver window; rounds 1 and 2 both overran it and were killed with
+rc 124, so the budget is now deliberately conservative and every section
+is deadline-gated):
 
-1. headline — the CANONICAL configuration, run twice in fresh
-   subprocesses; the JSON line is printed as soon as the first run lands.
+0. prewarm — compile the headline program pair in a bounded subprocess
+   so the persistent cache absorbs the tunnel's 1-10 min remote compiles
+   BEFORE any timed run (a cold timing subprocess used to blow its own
+   timeout on compiles alone).
+1. headline — the CANONICAL configuration; the JSON line is printed as
+   soon as the FIRST run lands.  A second run (stability check) and the
+   method='auto' variant follow only if budget remains.
 2. per-stage breakdown of the chain (bench_stages.json) — the roofline
    input for docs/DESIGN.md.
 3. kernel variant matrix (bench_kernels.json) — the Criterion analog
    (benchmarks/Benchmarks.hs:79-156), incremental dump, deadline-aware.
 
-Everything lands in bench_details.json; stderr carries the human table.
+Everything lands in bench_details.json (seeded from the committed file,
+so a deadline-trimmed run refreshes what it measured and keeps the rest);
+stderr carries the human table.  A SIGALRM watchdog guarantees the
+process prints its JSON line and exits 0 even if a section wedges.
 """
 
 import contextlib
@@ -58,15 +68,16 @@ HEADLINE_CONFIG = {
     "timing": ("calibrated pair: 8- and 16-repetition programs "
                "(chain unrolled inside, perturbed inputs, scalar "
                "fold); per-chain time = (min(t_16) - min(t_8)) / 8 "
-               "over a 240 s alternating sampling window — the "
+               "over a 180 s alternating sampling window — the "
                "difference cancels the tunnel's per-dispatch constant "
                "(measured 20-40 ms in some windows, the same order as "
-               "the chain itself) and the long window rides out the "
-               "device's minutes-scale bimodality"),
+               "the chain itself) and the window length rides out the "
+               "device's minutes-scale bimodality (run-to-run spread "
+               "measured 0.3% at 240 s in r2)"),
 }
 
 _T0 = time.time()
-_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 
 def _remaining() -> float:
@@ -96,19 +107,12 @@ def _pair_mins(g1, g2, operands, runs: int):
     return b1, b2
 
 
-def bench_chain_batched(method: str = "conv", front: str = "quantized",
-                        block: int = 10_485_760, nblocks: int = 32,
-                        iters: int = 8, sample_s: float = 240.0,
-                        warmup_s: float = 10.0):
-    """The canonical headline measurement (HEADLINE_CONFIG).
+def _headline_programs(method: str, front: str, block: int, nblocks: int,
+                       iters: int):
+    """Build the calibrated headline program pair (g1, g2) and its input.
 
-    ``nblocks`` blocks processed block-PARALLEL
-    (parallel.run_time_batched semantics — same output samples as the
-    sequential streamed run, proven in tests/test_parallel.py), repeated
-    ``iters`` / ``2*iters`` times INSIDE two compiled programs on
-    perturbed inputs with every output folded into one scalar; the
-    per-chain time is the calibrated difference (see the inline comment
-    at the sampling loop).  Returns (rate, sampling summary)."""
+    Shared by the prewarm step and the timed run so both compile
+    byte-identical HLO (the persistent-cache contract)."""
     from sdr_tpu.apps.chains import fm_chain
     from sdr_tpu.parallel.sharded import time_sharded_fn
 
@@ -132,7 +136,36 @@ def bench_chain_batched(method: str = "conv", front: str = "quantized",
             return acc[None]
         return jax.jit(looped)
 
-    g1, g2 = make(iters), make(2 * iters)
+    return make(iters), make(2 * iters), xb
+
+
+def prewarm_headline(method: str = "conv", front: str = "quantized",
+                     block: int = 10_485_760, nblocks: int = 32,
+                     iters: int = 8):
+    """Compile (only) the headline program pair, populating the
+    persistent cache.  Run in its own bounded subprocess before any
+    timed section: remote compiles through the tunnel take 1-10 min
+    each and used to land inside the timing subprocess's budget."""
+    g1, g2, xb = _headline_programs(method, front, block, nblocks, iters)
+    # compile the N-rep program first so a timeout still caches one
+    _sync(g1(xb))
+    _sync(g2(xb))
+
+
+def bench_chain_batched(method: str = "conv", front: str = "quantized",
+                        block: int = 10_485_760, nblocks: int = 32,
+                        iters: int = 8, sample_s: float = 180.0,
+                        warmup_s: float = 10.0):
+    """The canonical headline measurement (HEADLINE_CONFIG).
+
+    ``nblocks`` blocks processed block-PARALLEL
+    (parallel.run_time_batched semantics — same output samples as the
+    sequential streamed run, proven in tests/test_parallel.py), repeated
+    ``iters`` / ``2*iters`` times INSIDE two compiled programs on
+    perturbed inputs with every output folded into one scalar; the
+    per-chain time is the calibrated difference (see the inline comment
+    at the sampling loop).  Returns (rate, sampling summary)."""
+    g1, g2, xb = _headline_programs(method, front, block, nblocks, iters)
     _sync(g1(xb))
     _sync(g2(xb))
     # sustained warm-up before timing
@@ -620,11 +653,10 @@ def bench_kernels_robust(dump: str = "bench_kernels.json",
         code = (f"import bench; bench.bench_kernels(dump={dump!r}, "
                 f"only={name!r})")
         try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, text=True,
-                               timeout=budget)
-            if r.stderr:
-                sys.stderr.write(r.stderr[-400:])
+            _, _, err = _run_child([sys.executable, "-c", code],
+                                   timeout=budget)
+            if err:
+                sys.stderr.write(err[-400:])
         except subprocess.TimeoutExpired:
             print(f"{name}: killed after {budget:.0f}s (hung compile)",
                   file=sys.stderr)
@@ -636,24 +668,45 @@ def bench_kernels_robust(dump: str = "bench_kernels.json",
         return {}
 
 
+_LIVE_CHILDREN = []  # Popen objects the watchdog must kill before exiting
+
+
+def _run_child(argv, timeout: float):
+    """subprocess.run equivalent that registers the child so the SIGALRM
+    watchdog can kill it (os._exit alone would orphan a live TPU
+    client)."""
+    import subprocess
+    p = subprocess.Popen(argv, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+    _LIVE_CHILDREN.append(p)
+    try:
+        out, err = p.communicate(timeout=timeout)
+        return p.returncode, out, err
+    except subprocess.TimeoutExpired:
+        p.kill()
+        p.communicate()
+        raise
+    finally:
+        _LIVE_CHILDREN.remove(p)
+
+
 def _subproc(code: str, tag: str, timeout: float, attempts: int = 2):
     """Run one bench snippet in a subprocess with retry + cooldown.
 
     The tunneled TPU runtime 'poisons' a client (and itself, for minutes)
     on certain failures; isolation + patience gets a number through.
     Returns the last stdout line parsed as JSON, or None."""
-    import subprocess
     for attempt in range(attempts):
         if _remaining() < 60:
             print(f"{tag}: skipped (budget)", file=sys.stderr)
             return None
         try:
-            r = subprocess.run(
-                [sys.executable, "-c", code], capture_output=True,
-                text=True, timeout=min(timeout, max(_remaining(), 60)))
-            if r.returncode == 0 and r.stdout.strip():
-                return json.loads(r.stdout.strip().splitlines()[-1])
-            print(f"{tag} attempt {attempt}: {r.stderr[-300:]}",
+            rc, out, err = _run_child(
+                [sys.executable, "-c", code],
+                timeout=min(timeout, max(_remaining(), 60)))
+            if rc == 0 and out.strip():
+                return json.loads(out.strip().splitlines()[-1])
+            print(f"{tag} attempt {attempt}: {err[-300:]}",
                   file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"{tag} attempt {attempt}: {e}", file=sys.stderr)
@@ -662,102 +715,180 @@ def _subproc(code: str, tag: str, timeout: float, attempts: int = 2):
     return None
 
 
-def main():
-    results = {}
-    cfg = HEADLINE_CONFIG
-    # 1. canonical headline, twice in fresh subprocesses (stability check)
-    code = ("import json, bench; r, ts = bench.bench_chain_batched("
-            f"{cfg['method']!r}, {cfg['front']!r}, {cfg['block_u8']}, "
-            f"{cfg['nblocks']}); print(json.dumps({{'rate': r, 'runs': ts}}))")
-    first = _subproc(code, "headline_run1", timeout=1700)
-    if first is None:
-        print(json.dumps({"metric": "fm_chain_samples_per_sec_per_chip",
-                          "value": 0, "unit": "complex S/s",
-                          "vs_baseline": 0.0, "config": cfg}))
-        return 0  # exit clean either way; the artifact records the miss
-    results["fm_chain_batched"] = first["rate"]
-    results["fm_chain_batched_runs"] = first["runs"]
+_PRINTED_HEADLINE = False
 
-    # the shared/tunneled device is BIMODAL across minutes (same cached
-    # executable measured 45% apart in different windows, stable +-3%
-    # within one) — so the capability number is the best sustained
-    # window; every run is recorded for audit.
-    second = _subproc(code, "headline_run2", timeout=900, attempts=1)
-    best = first["rate"]
-    if second is not None:
-        results["fm_chain_batched_run2"] = second["rate"]
-        results["fm_chain_batched_run2_runs"] = second["runs"]
-        spread = abs(first["rate"] - second["rate"]) / max(
-            first["rate"], second["rate"])
-        results["headline_window_spread"] = spread
-        best = max(best, second["rate"])
-        print(f"headline windows: {first['rate']/1e9:.1f} / "
-              f"{second['rate']/1e9:.1f} GS/s (spread {spread:.1%})",
-              file=sys.stderr)
-    results["fm_chain_batched_best"] = best
 
+def _print_headline(rate: float, cfg: dict, note: str):
+    global _PRINTED_HEADLINE
     print(json.dumps({
         "metric": "fm_chain_samples_per_sec_per_chip",
-        "value": round(best),
+        "value": round(rate),
         "unit": "complex S/s",
-        "vs_baseline": round(best / BASELINE_PER_CHIP, 3),
-        "config": dict(cfg, runs_recorded="best of 2 subprocess runs; "
-                       "see bench_details.json"),
+        "vs_baseline": round(rate / BASELINE_PER_CHIP, 3),
+        "config": dict(cfg, runs_recorded=note),
     }), flush=True)
+    _PRINTED_HEADLINE = True
 
-    # 1b. secondary: same chain with method='auto' (the measured
-    #     dispatch table sends unit-stride FIRs to the Pallas kernel,
-    #     which sustained 27x the conv rate at k32 in the batched
-    #     matrix) — kept out of the headline until it has its own
-    #     recorded history
-    auto = _subproc(
-        ("import json, bench; r, ts = bench.bench_chain_batched("
-         f"'auto', {cfg['front']!r}, {cfg['block_u8']}, "
-         f"{cfg['nblocks']}, sample_s=120.0); "
-         "print(json.dumps({'rate': r, 'runs': ts}))"),
-        "headline_auto", timeout=1700, attempts=1)
-    if auto is not None:
-        results["fm_chain_batched_auto"] = auto["rate"]
-        results["fm_chain_batched_auto_runs"] = auto["runs"]
 
-    # 2. secondary: sequential streaming formulation (recorded, not the
-    #    headline)
-    stream = _subproc(
-        "import json, bench; print(json.dumps(bench.bench_chain_stream()))",
-        "fm_chain_stream", timeout=1700, attempts=1)
-    if stream is not None:
-        results["fm_chain_stream"] = stream
-
-    chan = _subproc(
-        "import json, bench; "
-        "print(json.dumps(bench.bench_channelizer()))",
-        "channelizer_64ch", timeout=1700, attempts=1)
-    if chan is not None:
-        results["channelizer_64ch_wideband"] = chan
-
-    # 3. per-stage breakdown (roofline input)
-    deadline = _T0 + _BUDGET - 60
-    stages = _subproc(
-        "import json, time, bench; "
-        f"print(json.dumps(bench.bench_stages(deadline={deadline!r})))",
-        "stages", timeout=1700, attempts=1)
-    if stages is not None:
-        results["stages"] = stages
-
-    # 4. kernel matrix — one subprocess PER CASE with a parent-enforced
-    #    timeout (hung remote compiles are uninterruptible in-process);
-    #    the dump file accumulates rows incrementally
-    results.update(bench_kernels_robust("bench_kernels.json",
-                                        deadline=deadline))
-
-    for k, v in sorted(results.items()):
-        if isinstance(v, (int, float)):
-            print(f"{k:28s} {v/1e9:9.3f} GS/s", file=sys.stderr)
+def _save_details(results: dict):
     try:
         with open("bench_details.json", "w") as fh:
             json.dump(results, fh, indent=2, default=float)
     except OSError:
         pass
+
+
+def main():
+    # Watchdog: whatever happens below, this process prints its JSON line
+    # and exits 0 before the driver's window closes (rounds 1 and 2 were
+    # both killed at rc 124).  subprocess timeouts are parent-enforced so
+    # this should never fire — it is the backstop, not the plan.
+    def _watchdog(signum, frame):
+        for p in list(_LIVE_CHILDREN):  # don't orphan a live TPU client
+            try:
+                p.kill()
+            except OSError:
+                pass
+        if not _PRINTED_HEADLINE:
+            _print_headline(0.0, HEADLINE_CONFIG, "watchdog: budget hit")
+        print("bench: watchdog fired — exiting 0", file=sys.stderr)
+        os._exit(0)
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(int(_BUDGET + 45))
+
+    # seed the CHAIN-level sections from the committed record so a
+    # deadline-trimmed run keeps earlier chain numbers — but only those:
+    # kernel rows live solely in bench_kernels.json (round 2 left stale
+    # per-kernel copies here that contradicted the fresh matrix file).
+    keep = ("fm_chain", "headline", "channelizer", "stages")
+    results = {}
+    try:
+        with open("bench_details.json") as fh:
+            results = {k: v for k, v in json.load(fh).items()
+                       if k.startswith(keep)}
+    except (OSError, ValueError):
+        pass
+    results["run_at_unix"] = int(_T0)
+    results["sections_run"] = []
+    results["kernel_matrix"] = "see bench_kernels.json (incremental)"
+    cfg = HEADLINE_CONFIG
+
+    # 0. prewarm the persistent compile cache (bounded; harmless if warm
+    #    — a cache hit makes this a ~60 s no-op)
+    if _remaining() > 600:
+        _subproc(
+            ("import json, bench; bench.prewarm_headline("
+             f"{cfg['method']!r}, {cfg['front']!r}, {cfg['block_u8']}, "
+             f"{cfg['nblocks']}); print(json.dumps({{}}))"),
+            "prewarm", timeout=min(500.0, _remaining() - 420), attempts=1)
+
+    # 1. canonical headline (fresh subprocess).  The JSON line prints as
+    #    soon as this lands; everything after is best-effort extras.
+    code = ("import json, bench; r, ts = bench.bench_chain_batched("
+            f"{cfg['method']!r}, {cfg['front']!r}, {cfg['block_u8']}, "
+            f"{cfg['nblocks']}); print(json.dumps({{'rate': r, 'runs': ts}}))")
+    first = _subproc(code, "headline_run1",
+                     timeout=max(60.0, _remaining() - 90))
+    if first is None:
+        _print_headline(0.0, cfg, "headline run failed inside budget; "
+                        "see stderr")
+        return 0  # exit clean either way; the artifact records the miss
+    results["fm_chain_batched"] = first["rate"]
+    results["fm_chain_batched_runs"] = first["runs"]
+    results["fm_chain_batched_best"] = first["rate"]
+    results["sections_run"].append("headline_run1")
+    _print_headline(first["rate"], cfg,
+                    "run 1 of up to 2; see bench_details.json")
+    _save_details(results)
+
+    # the shared/tunneled device is BIMODAL across minutes (same cached
+    # executable measured 45% apart in different windows, stable +-3%
+    # within one) — a second window is recorded for the spread when
+    # budget allows.
+    code2 = ("import json, bench; r, ts = bench.bench_chain_batched("
+             f"{cfg['method']!r}, {cfg['front']!r}, {cfg['block_u8']}, "
+             f"{cfg['nblocks']}, sample_s=120.0); "
+             "print(json.dumps({'rate': r, 'runs': ts}))")
+    if _remaining() > 360:
+        second = _subproc(code2, "headline_run2",
+                          timeout=_remaining() - 60, attempts=1)
+        if second is not None:
+            results["fm_chain_batched_run2"] = second["rate"]
+            results["fm_chain_batched_run2_runs"] = second["runs"]
+            results["sections_run"].append("headline_run2")
+            spread = abs(first["rate"] - second["rate"]) / max(
+                first["rate"], second["rate"])
+            results["headline_window_spread"] = spread
+            results["fm_chain_batched_best"] = max(first["rate"],
+                                                   second["rate"])
+            print(f"headline windows: {first['rate']/1e9:.1f} / "
+                  f"{second['rate']/1e9:.1f} GS/s (spread {spread:.1%})",
+                  file=sys.stderr)
+            _save_details(results)
+
+    # 1b. the OTHER dispatch variant of the same chain ('auto' headline
+    #     -> record 'conv' and vice versa), a shorter window — it is a
+    #     comparison row, not the capability claim
+    alt = "conv" if cfg["method"] == "auto" else "auto"
+    if _remaining() > 360:
+        other = _subproc(
+            ("import json, bench; r, ts = bench.bench_chain_batched("
+             f"{alt!r}, {cfg['front']!r}, {cfg['block_u8']}, "
+             f"{cfg['nblocks']}, sample_s=90.0); "
+             "print(json.dumps({'rate': r, 'runs': ts}))"),
+            f"headline_{alt}", timeout=_remaining() - 60, attempts=1)
+        if other is not None:
+            results[f"fm_chain_batched_{alt}"] = other["rate"]
+            results[f"fm_chain_batched_{alt}_runs"] = other["runs"]
+            results["sections_run"].append(f"chain_{alt}")
+            _save_details(results)
+
+    # 2. per-stage breakdown (roofline input)
+    deadline = _T0 + _BUDGET - 60
+    if _remaining() > 300:
+        stages = _subproc(
+            "import json, time, bench; "
+            f"print(json.dumps(bench.bench_stages(deadline={deadline!r})))",
+            "stages", timeout=_remaining() - 60, attempts=1)
+        if stages is not None:
+            results["stages"] = stages
+            results["sections_run"].append("stages")
+            _save_details(results)
+
+    # 3. kernel matrix — one subprocess PER CASE with a parent-enforced
+    #    timeout (hung remote compiles are uninterruptible in-process);
+    #    the dump file (the canonical matrix artifact) accumulates rows
+    #    incrementally and is NOT merged here
+    if _remaining() > 180:
+        ran = bench_kernels_robust("bench_kernels.json", deadline=deadline)
+        if ran:
+            results["sections_run"].append("kernels")
+
+    # 4. secondary formulations (recorded, not the headline)
+    if _remaining() > 300:
+        stream = _subproc(
+            "import json, bench; "
+            "print(json.dumps(bench.bench_chain_stream()))",
+            "fm_chain_stream", timeout=_remaining() - 60, attempts=1)
+        if stream is not None:
+            results["fm_chain_stream"] = stream
+            results["sections_run"].append("stream")
+            _save_details(results)
+
+    if _remaining() > 300:
+        chan = _subproc(
+            "import json, bench; "
+            "print(json.dumps(bench.bench_channelizer()))",
+            "channelizer_64ch", timeout=_remaining() - 60, attempts=1)
+        if chan is not None:
+            results["channelizer_64ch_wideband"] = chan
+            results["sections_run"].append("channelizer")
+            _save_details(results)
+
+    for k, v in sorted(results.items()):
+        if isinstance(v, (int, float)):
+            print(f"{k:28s} {v/1e9:9.3f} GS/s", file=sys.stderr)
+    _save_details(results)
     return 0
 
 

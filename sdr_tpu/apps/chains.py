@@ -36,7 +36,8 @@ def fm_taps():
 
 def fm_chain(volume: float = 0.2, method: str = "auto",
              planar: bool = False, front: str = "exact",
-             front_precision: str = "s16", atan2: str = "poly",
+             front_precision: str = "s16", front_q_out: int = 128,
+             atan2: str = "poly",
              stereo: bool = False, fs_in: float = 1_280_000.0,
              deemphasis: float | None = None):
     """Broadcast FM receiver ops (config #1; examples/fm/fm.hs:32-41):
@@ -56,6 +57,9 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
     TPU.  'quantized' implies the planar demod.  ``front_precision``:
     's16' (hi/lo split taps, ~2e-4) or 's8' (single 8-bit band — half
     the MXU work, ~2e-3, still 5x inside the differential bound).
+    ``front_q_out``: the quantized front end's band geometry (outputs
+    per window row; identical samples at any value — the dense band's
+    MXU cost is linear in it, see ops/quantized.py).
     ``atan2``: 'poly' (the planar-demod default — measured 3.1x faster
     than the transcendental lowering at 5.8e-7 rad absolute error,
     bench_stages.json r2) or 'exact'; complex-path demod is always
@@ -100,7 +104,8 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
         return [U8FrontDemod(rf, 8, precision=front_precision), *back]
     if front == "quantized":
         from sdr_tpu.stream import U8FrontEnd
-        return [U8FrontEnd(rf, 8, precision=front_precision),
+        return [U8FrontEnd(rf, 8, precision=front_precision,
+                           q_out=front_q_out),
                 FmDemod(planar=True, atan2=atan2), *back]
     return [IqConvertU8(planar=planar),
             Fir.decimator(rf, 8, method=method),
