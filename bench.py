@@ -59,10 +59,15 @@ BASELINE_PER_CHIP = 10e9 / 16  # BASELINE.md: >=10 GS/s aggregate on v5e-16
 # the ONE canonical headline configuration (recorded in the JSON line)
 HEADLINE_CONFIG = {
     "formulation": "run_time_batched (vmap block-parallel, one program)",
-    "front": "quantized",     # int8-MXU fused convert+decimate (U8FrontEnd)
+    "front": "quantized",     # int8-MXU fused convert+decimate (U8FrontEnd:
+                              # u8-direct split dot, s16 taps, Q=64 — the r3
+                              # formulation A/B winner, bench_front_ab.json)
     "atan2": "poly",          # planar-demod default (3.1x the exact
                               # lowering at 5.8e-7 rad, bench_stages r2)
-    "method": "conv",         # back-half FIR path
+    "method": "auto",         # back-half FIR dispatch: the measured table
+                              # routes the unit-stride audio FIR to the
+                              # Pallas banded kernel (in-chain A/B r3:
+                              # 13.1 ms vs 15.9 ms for method='conv')
     "nblocks": 32,
     "block_u8": 10_485_760,
     "timing": ("calibrated pair: 8- and 16-repetition programs "

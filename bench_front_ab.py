@@ -2,7 +2,11 @@
 
 Times fir_decimate_u8_planar (impl x precision x q_out) with bench.py's
 calibrated-pair methodology at the EXACT shapes the headline chain runs
-(32 x 10 MiB u8 blocks, K=51, D=8).  Writes bench_front_ab.json.
+(32 x 10 MiB u8 blocks, K=51, D=8).  Writes bench_front_ab.json — the
+committed copy holds the r3 formulation A/B (xor+concat vs xor+split vs
+u8-direct split; see its _note) that set the current impl='xla'
+(u8-direct split dot) and the Q=64 default.  Rerunning refreshes the
+'xla_*' rows with the current formulation.
 Run standalone on the TPU; ~2 min per variant warm.
 """
 import json

@@ -7,14 +7,20 @@ runs at 1/f rate), yet as an f32 conv it is VPU-bound (the MXU wants
 matmuls).  This module runs it as two int8 matmuls with exact int32
 accumulation:
 
-* the interleaved u8 block is viewed as overlapping window rows
-  ``X2[p, w] = raw[p*128*2f + w]`` built from two contiguous reshapes (no
-  gather); ``x - 128`` is ``x ^ 0x80`` bitcast to s8 — exact;
+* the interleaved u8 block is viewed as non-overlapping window rows
+  ``X[p, s] = raw[p*stride + s]`` (one free reshape); each row's window
+  tail past ``stride`` lives at the start of row p+1, so the dot splits
+  into a main part over ``X`` and a small halo part over the shifted
+  view — the overlapping window matrix never materializes;
+* the u8 samples feed the MXU DIRECTLY: with a per-column constant
+  ``corr[c] = 128 * sum_w B[w, c]`` (host-side),
+  ``X_u8 @ B - corr  ==  (X - 128) @ B`` exactly — no ``x ^ 0x80``
+  elementwise pass over the (100s-of-MB) input (measured ~4% of the op);
 * taps are quantized to 16 bits (max |tap| -> 32512 = 127*256) and split
-  into hi/lo s8 bytes, so ``X2s @ (256*Bhi + Blo)`` is the exact
-  integer correlation with 16-bit taps: two s8 matmuls, s32 accumulate
-  (|sum| <= 51*128*32512 << 2^31);
-* the banded matrix ``B[2f*q + 2k + c, c*128 + q] = T16[k]`` taps the
+  into hi/lo s8 bytes side by side, so one dot accumulates both bands in
+  s32 and ``acc = 256*hi + lo`` is the exact integer correlation with
+  16-bit taps (|sum| <= 51*255*127 + 128*51*127 << 2^31 per band);
+* the banded matrix ``B[2f*q + 2k + c, c*Q + q] = T16[k]`` taps the
   interleaved layout directly, so I and Q come out as the two contiguous
   column halves — the planar split is free.
 
@@ -39,11 +45,12 @@ import jax.numpy as jnp
 __all__ = ["fir_decimate_u8_planar", "u8_front_plan"]
 
 LANE = 128
+Q_DEFAULT = 64   # band geometry (outputs/window row): fastest measured (r3 A/B)
 
 
 @functools.lru_cache(maxsize=32)
 def _plan(taps_bytes: bytes, n_taps: int, factor: int,
-          precision: str = "s16", q_out: int = LANE, byte_off: int = 0):
+          precision: str = "s16", q_out: int = Q_DEFAULT, byte_off: int = 0):
     """Host-side banded-matrix construction (cached per (taps, factor)).
 
     ``precision='s16'``: taps quantized to 16 bits, band split into hi/lo
@@ -93,7 +100,7 @@ def _plan(taps_bytes: bytes, n_taps: int, factor: int,
 
 
 def u8_front_plan(taps, factor: int, precision: str = "s16",
-                  q_out: int = LANE, byte_off: int = 0):
+                  q_out: int = Q_DEFAULT, byte_off: int = 0):
     """Expose the static plan (window width, row stride, scale, hi/lo
     banded s8 matrices; lo is None for precision='s8') — used by apply
     and by tests."""
@@ -104,7 +111,7 @@ def u8_front_plan(taps, factor: int, precision: str = "s16",
 
 def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
                            impl: str = "xla", precision: str = "s16",
-                           byte_off: int = 0, q_out: int = LANE):
+                           byte_off: int = 0, q_out: int = Q_DEFAULT):
     """Interleaved u8 IQ ``[..., 2n]`` -> decimated planar f32
     ``[..., 2, num]`` in one fused step (convert + K-tap decimate-by-f).
 
@@ -115,22 +122,22 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
     taps (``precision='s16'``) or 8-bit-quantized taps (``'s8'``: one
     band instead of hi/lo — half the MXU work, ~2e-3 abs accuracy).
 
-    ``impl``: 'xla' (this module's window-materializing formulation),
-    'pallas' (kernels/u8_front_pallas.py — same plan, windows stay in
-    VMEM, bit-identical output), or 'auto' = 'xla'.  Auto prefers the
-    XLA formulation because it MEASURES faster despite the extra HBM
-    round-trip of the window matrix: a same-window A/B on the target
-    chip (r2) put it at 12.2 ms vs 15.3-17.2 ms for the Pallas kernel
-    across every band geometry Q in {32,64,128} x {s8,s16} — and the
-    near-identical Pallas times across 4x MXU-work variation show the
-    kernel is grid/DMA-bound, not MXU-bound, so the VMEM-resident
-    windows don't pay for their scheduling cost here.  ``byte_off``
+    ``impl``: 'xla' (this module's split main+halo u8 dot — the input is
+    a free reshape feeding the MXU directly, no window matrix and no
+    elementwise offset pass; see the module docstring), 'pallas'
+    (kernels/u8_front_pallas.py — same plan, windows stay in VMEM,
+    bit-identical output), or 'auto' = 'xla'.  Auto prefers the XLA
+    formulation because it MEASURES faster: the r2 same-window A/B put
+    the Pallas kernel at 15.3-17.2 ms vs XLA across every band geometry
+    Q in {32,64,128} x {s8,s16} (near-identical times across 4x MXU-work
+    variation = the kernel is grid/DMA-bound), and the r3 A/B of XLA
+    formulations landed the current u8-direct split dot at 8.3 ms
+    (s16, Q=64) vs 8.6 ms for the xor+concat form.  ``byte_off``
     statically shifts every window by that many bytes into ``raw``
     (zero-copy streaming seams; see u8_front_plan).  ``q_out`` picks the
     band geometry (outputs per window row) — any value yields identical
-    samples; the dense band's MXU cost is linear in q_out while the
-    output-lane fill needs ``2*q_out`` >= 128, so q_out=64 halves the
-    matmul work of the full-width 128 where the op is MXU-bound.
+    samples; Q=64 measured fastest (Q=32 loses ~20% despite half the
+    MACs — the op is not MXU-bound at chain shapes).
     """
     if impl == "pallas":
         from sdr_tpu.kernels.u8_front_pallas import u8_front_pallas
@@ -160,28 +167,33 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
         raw = jnp.pad(raw, [(0, 0)] * (raw.ndim - 1)
                       + [(0, need - raw.shape[-1])])
     lead = raw.shape[:-1]
+    # main rows: a free reshape of the input (never copied); each row's
+    # window tail past ``stride`` is the first W - stride bytes of row
+    # p+1, read through a second, shifted view — the overlapping window
+    # matrix X2 of the r2 formulation never materializes
     main = raw[..., : P * stride].reshape(lead + (P, stride))
-    # halo columns: row p also reads raw[p*stride + stride : p*stride + W]
-    # = the first W - stride bytes of row p+1 — one shifted reshape
     nxt = raw[..., stride: stride + P * stride]
     pad = P * stride - nxt.shape[-1]
     if pad > 0:
         nxt = jnp.pad(nxt, [(0, 0)] * (raw.ndim - 1) + [(0, pad)])
     halo = nxt.reshape(lead + (P, stride))[..., : W - stride]
-    X2 = jnp.concatenate([main, halo], axis=-1)          # [..., P, W] u8
-    X2s = jax.lax.bitcast_convert_type(X2 ^ jnp.uint8(0x80), jnp.int8)
-    cdims = (((X2s.ndim - 1,), (0,)), ((), ()))
-    if Blo is None:
-        acc = jax.lax.dot_general(X2s, jnp.asarray(Bhi), cdims,
+    # hi|lo bands side by side in ONE dot — the input is read once for
+    # both bands; the u8 samples feed the dot directly and the constant
+    # column correction applies the -128 offset afterwards (exact):
+    #   (X - 128) @ B  ==  X_u8 @ B - 128 * colsum(B)
+    # (measured ~4% faster than the x^0x80 bitcast pass, r3 A/B)
+    B2 = Bhi if Blo is None else np.concatenate([Bhi, Blo], axis=1)
+    corr = jnp.asarray(128 * B2.sum(axis=0, dtype=np.int64),
+                       dtype=jnp.int32)
+    cdims = (((main.ndim - 1,), (0,)), ((), ()))
+    acc2 = (jax.lax.dot_general(main, jnp.asarray(B2[:stride]), cdims,
+                                preferred_element_type=jnp.int32)
+            + jax.lax.dot_general(halo, jnp.asarray(B2[stride:]), cdims,
                                   preferred_element_type=jnp.int32)
+            - corr)
+    if Blo is None:
+        acc = acc2
     else:
-        # hi|lo bands side by side in ONE dot: the op is HBM-bound on
-        # reading X2 (geometry-invariant timing, r2 probe), so reading
-        # it once for both bands — not once per band — is the win; the
-        # MAC count is identical either way
-        B2 = np.concatenate([Bhi, Blo], axis=1)
-        acc2 = jax.lax.dot_general(X2s, jnp.asarray(B2), cdims,
-                                   preferred_element_type=jnp.int32)
         q2 = 2 * q_out
         acc = acc2[..., :q2] * 256 + acc2[..., q2:]
     y = acc.astype(jnp.float32) * jnp.float32(scale)   # [..., P, 2*q_out]

@@ -113,7 +113,7 @@ class U8FrontEnd(StreamOp):
     """
 
     def __init__(self, taps, factor: int, impl: str = "auto",
-                 precision: str = "s16", q_out: int = 128):
+                 precision: str = "s16", q_out: int = 64):
         self.taps = np.asarray(taps, dtype=np.float32)
         self.factor = int(factor)
         self.n_taps = self.taps.shape[0]

@@ -27,25 +27,26 @@ import os
 
 __all__ = ["best_method", "measured_rates"]
 
-# samples/sec by {family: {method: {n_taps: rate}}}.
-# family 'filter' = unit stride, 'decimate' = strided.  TPU provenance,
-# per row: k32 = r2 calibrated-pair rows at batched in-chain shapes
-# ([32, n] — single 1-D convs degenerate ~100x on TPU and must not seed
-# this table); k128/k512 = r1 bench_kernels.json VERBATIM (older
-# harness — refresh from the batched matrix when it completes).  The
-# argmax is robust to the mixed provenance: pallas wins k32 by 27x
-# (r2) and was already ahead at k128/k512 within r1's own numbers.
-# CPU numbers are rough orders from the test machine — CPU is a
-# correctness backend, not a target.
+# samples/sec by {family: {method: {key: rate}}}.
+# family 'filter' = unit stride, keyed by tap count; 'decimate' =
+# strided, keyed by TAPS PER PHASE ceil(K/f) — the r2 matrix showed the
+# winner flips with the polyphase band density, not the raw tap count
+# (k51/d8 i.e. 7/phase: conv 10.5 vs pallas 8.1 G/s; k128/d4 i.e.
+# 32/phase: pallas 15.5 vs conv 4.1 G/s).  TPU rows are the r2 batched
+# calibrated-pair matrix VERBATIM (bench_kernels.json, real-input rows
+# at [32, n] in-chain shapes — single 1-D convs degenerate ~100x on TPU
+# and must not seed this table).  CPU numbers are rough orders from the
+# test machine — CPU is a correctness backend, not a target.
 MEASURED = {
     "tpu": {
         "filter": {
-            "conv":   {32: 3.21e9, 128: 8.89e9, 512: 1.00e10},
-            "pallas": {32: 8.82e10, 128: 9.48e9, 512: 1.49e10},
+            "conv":   {32: 3.21e9, 128: 9.76e8, 512: 1.79e8},
+            "direct": {32: 4.76e8},
+            "pallas": {32: 8.82e10, 128: 7.19e10, 512: 4.67e10},
         },
         "decimate": {
-            "conv":   {128: 7.02e9},
-            "pallas": {128: 6.8e9},
+            "conv":   {7: 1.05e10, 32: 4.06e9},
+            "pallas": {7: 8.10e9, 32: 1.55e10},
         },
     },
     "cpu": {
@@ -101,30 +102,53 @@ def best_method(device_family: str, n_taps: int, factor: int = 1,
 
     Small problems on CPU skip to 'direct' (dispatch overhead dominates
     and the im2col stays tiny); otherwise the argmax over the measured
-    table for the family ('filter' for unit stride, 'decimate' else).
+    table for the family.  Unit stride interpolates by tap count;
+    strided interpolates by taps per polyphase component ceil(K/f) —
+    the shape variable the measured winner actually follows.
     """
     if device_family != "tpu" and num < 4096:
         return "direct"
-    fam = "filter" if factor == 1 else "decimate"
+    if factor == 1:
+        fam, key = "filter", n_taps
+    else:
+        fam, key = "decimate", -(-n_taps // factor)
     table = measured_rates(device_family).get(fam, {})
     best, best_rate = "conv", 0.0
     for method, rates in table.items():
-        r = _rate_at(rates, n_taps)
+        r = _rate_at(rates, key)
         if r > best_rate:
             best, best_rate = method, r
     return best
 
 
 def _main(argv):
-    """Regenerate the MEASURED tpu block from a bench_kernels.json."""
+    """Regenerate the MEASURED tpu block from a bench_kernels.json.
+
+    Only REAL-input rows seed the table (complex rows run through the
+    same real paths via the planar view — their per-input-sample rates
+    are not comparable).  Decimate rows are keyed by taps per phase
+    (``filter_r_k128_conv`` -> filter[conv][128];
+    ``decimate_r_k51_d8_conv`` -> decimate[conv][ceil(51/8)]).
+    """
     with open(argv[1]) as fh:
         m = json.load(fh)
     table: dict = {"filter": {}, "decimate": {}}
     for key, rate in m.items():
-        parts = key.split("_")  # e.g. filter_r_k128_conv
-        if len(parts) == 4 and parts[0] in table and parts[2][0] == "k":
-            fam, _, ktaps, method = parts
-            table[fam].setdefault(method, {})[int(ktaps[1:])] = rate
+        parts = key.split("_")
+        if parts[0] not in table or len(parts) < 4 or parts[1] != "r":
+            continue
+        if parts[2][0] != "k":
+            continue
+        ktaps = int(parts[2][1:])
+        if parts[0] == "decimate":
+            factor = int(parts[3][1:]) if parts[3][0] == "d" else 4
+            method = parts[-1]
+            table["decimate"].setdefault(method, {})[
+                -(-ktaps // factor)] = rate
+        else:
+            if len(parts) != 4:
+                continue
+            table["filter"].setdefault(parts[3], {})[ktaps] = rate
     print(json.dumps({"tpu": table}, indent=2, sort_keys=True))
     return 0
 

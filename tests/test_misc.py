@@ -78,7 +78,10 @@ def test_tuning_table_dispatch(tmp_path, monkeypatch):
     from sdr_tpu.utils import tuning
     assert tuning.best_method("tpu", 32) == "pallas"
     assert tuning.best_method("tpu", 512) == "pallas"
-    assert tuning.best_method("tpu", 128, factor=4) == "conv"
+    # strided keys by taps/phase: k128/d4 (32/phase) -> pallas wins the
+    # recorded matrix 15.5 vs 4.1 G/s; k51/d8 (7/phase) -> conv 10.5 vs 8.1
+    assert tuning.best_method("tpu", 128, factor=4) == "pallas"
+    assert tuning.best_method("tpu", 51, factor=8) == "conv"
     assert tuning.best_method("cpu", 32, num=100) == "direct"
     # runtime override via SDR_TPU_TUNING_JSON
     p = tmp_path / "t.json"
@@ -92,13 +95,18 @@ def test_tuning_regenerate_cli(tmp_path, capsys):
     import json
     from sdr_tpu.utils import tuning
     m = {"filter_r_k128_conv": 1e9, "filter_r_k128_pallas": 2e9,
-         "decimate_r_k128_conv": 3e9, "u8_front_k51_d8_int8": 4e9}
+         "decimate_r_k128_conv": 3e9, "decimate_r_k51_d8_conv": 5e9,
+         "filter_c_k128_conv": 7e9, "u8_front_k51_d8_int8": 4e9}
     p = tmp_path / "m.json"
     p.write_text(json.dumps(m))
     tuning._main(["tuning", str(p)])
     out = json.loads(capsys.readouterr().out)
     assert out["tpu"]["filter"]["pallas"]["128"] == 2e9
-    assert out["tpu"]["decimate"]["conv"]["128"] == 3e9
+    # complex rows must NOT overwrite the real-input rows
+    assert out["tpu"]["filter"]["conv"]["128"] == 1e9
+    # decimate keys by taps per phase: k128/d4 -> 32, k51/d8 -> 7
+    assert out["tpu"]["decimate"]["conv"]["32"] == 3e9
+    assert out["tpu"]["decimate"]["conv"]["7"] == 5e9
 
 
 def test_timed_and_trace(capsys):
