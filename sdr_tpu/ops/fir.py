@@ -355,6 +355,15 @@ def fir_resample(taps, interpolation: int, decimation: int, x,
         y = _dispatch(taps_np, x, num, D, method, start)
         return y, 0
 
+    if method == "auto":
+        from sdr_tpu.utils.device import on_tpu
+        from sdr_tpu.utils import tuning
+        method = tuning.best_resample_method(
+            "tpu" if on_tpu() else "cpu", taps_np.shape[0], I, D, num)
+    if method == "band":
+        xr, rebuild = _as_real_batch(x)
+        y = _resample_band(taps_np, I, D, xr, offset, num, start)
+        return rebuild(y), end_offset
     method = _pick_method(method, num, D, taps_np.shape[0])
     if method == "direct":
         # gather + per-output phase rows; fine on CPU / tiny blocks
@@ -430,6 +439,102 @@ def _resample_conv(taps_np: np.ndarray, I: int, D: int, x, offset: int,
     y = y[..., :Q]
     y = jnp.swapaxes(y, -1, -2).reshape(lead + (Q * I,))
     return y[..., :num]
+
+
+def _resample_band(taps_np: np.ndarray, I: int, D: int, x, offset: int,
+                   num: int, start: int = 0):
+    """Banded-matmul polyphase resampler (the MXU formulation that wins
+    the 3/10 chain stage; real data, leading dims batched).
+
+    Group G consecutive outputs per band row, with G a multiple of I so
+    every row has the same phase pattern and rows advance through the
+    input by exactly ``S = G*D/I`` samples.  Then
+
+        y[G*p + g] = sum_k B[i_g + k, g] * x[p*S + i_g + k],
+        B[i_g + k, g] = T[o_g, k]            (phase table rows)
+
+    i.e. ``y_rows = X @ B`` where ``X[p, s] = x[p*S + s]`` is a FREE
+    reshape of the input and the window tail past ``S`` is read through
+    the one-row-shifted view (main + halo split dots — the same
+    zero-copy structure as the int8 front end, ops/quantized.py).  No
+    window matrix, no gather, no tiny-channel strided conv: the conv
+    formulation of this op lowers to a C_out=I stride-D conv whose
+    effective MXU utilization is a few percent (measured 1.9 ms vs a
+    0.5 ms HBM floor at the chain's 3/10 stage); the dense band costs
+    ``~128*D/I`` MACs per output on fully-filled lanes instead.
+
+    A ragged tail of ``num mod G`` outputs (plus any outputs whose rows
+    would read past the buffer) is computed by the direct gather path
+    and concatenated — at most ~2G outputs, negligible.
+
+    ``start + i_g`` offsets below one row stride are folded into the
+    band as leading zero rows (zero-copy); larger static starts fall
+    back to an explicit slice.
+    """
+    table = prepare_phase_table(taps_np, I)            # [I, Kp]
+    Kp = table.shape[1]
+    G = I * max(1, int(round(LANE / I)))               # ~128 outputs/row
+    S = G * D // I
+    # first-group geometry (p = 0, outputs g in [0, G)): i_0 = 0 exactly
+    # (t_0 = -offset, o_0 = offset -> i_0 = 0), so ``start`` is the only
+    # origin to fold in
+    g = np.arange(G, dtype=np.int64)
+    t_g = g * D - offset
+    o_g = (-t_g) % I
+    i_g = (t_g + o_g) // I
+    lead_off = start
+    if lead_off >= S:                                  # rare: large origin
+        x = x[..., (lead_off // S) * S:]
+        lead_off = lead_off % S
+    start = lead_off  # x's origin from here on (tail path uses it too)
+    W = lead_off + int(i_g.max()) + Kp
+    halo_w = W - S
+    while halo_w > S:                                  # long taps: widen rows
+        G *= 2
+        S = G * D // I
+        g = np.arange(G, dtype=np.int64)
+        t_g = g * D - offset
+        o_g = (-t_g) % I
+        i_g = (t_g + o_g) // I
+        W = lead_off + int(i_g.max()) + Kp
+        halo_w = W - S
+    halo_w = max(0, halo_w)     # short taps: the band ends inside one row
+    B = np.zeros((max(W, S), G), dtype=np.float32)
+    for gg in range(G):
+        s0 = lead_off + int(i_g[gg])
+        B[s0: s0 + Kp, gg] = table[int(o_g[gg])]
+    n = x.shape[-1]
+    # rows that fit entirely in the buffer (the tail path covers the rest);
+    # each main row needs S samples even when the band is narrower
+    P = min(-(-num // G), max(0, (n - max(W, S)) // S + 1))
+    n_band = min(num, P * G)
+    lead = x.shape[:-1]
+    if P > 0:
+        main = x[..., : P * S].reshape(lead + (P, S))
+        cdims = (((main.ndim - 1,), (0,)), ((), ()))
+        y = jax.lax.dot_general(main, jnp.asarray(B[:S]), cdims,
+                                preferred_element_type=jnp.float32)
+        if halo_w > 0:
+            nxt = x[..., S: S + P * S]
+            pad = P * S - nxt.shape[-1]
+            if pad > 0:
+                nxt = jnp.pad(nxt, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+            halo = nxt.reshape(lead + (P, S))[..., :halo_w]
+            y = y + jax.lax.dot_general(halo, jnp.asarray(B[S: S + halo_w]),
+                                        cdims,
+                                        preferred_element_type=jnp.float32)
+        y = y.reshape(lead + (P * G,))[..., :n_band]
+    else:
+        y = jnp.zeros(lead + (0,), jnp.float32)
+    if n_band < num:                                   # ragged tail: gather
+        rem = num - n_band
+        t0 = n_band * D - offset
+        off_t = (-t0) % I
+        i_t = (t0 + off_t) // I
+        tail, _ = fir_resample(taps_np, I, D, x, int(off_t), rem,
+                               method="direct", start=start + int(i_t))
+        y = jnp.concatenate([y, tail.astype(jnp.float32)], axis=-1)
+    return y
 
 
 def _resample_conv_c(taps_np: np.ndarray, I: int, D: int, x, offset: int,

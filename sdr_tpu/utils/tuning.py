@@ -48,6 +48,18 @@ MEASURED = {
             "conv":   {7: 1.05e10, 32: 4.06e9},
             "pallas": {7: 8.10e9, 32: 1.55e10},
         },
+        # rational (I > 1), keyed by taps per phase ceil(K/I); band =
+        # the r3 banded-matmul formulation (ops/fir.py _resample_band).
+        # Input samples/sec, r3 TPU A/B: Kp=11 rows at the headline
+        # chain's 3/10 stage shape ([32, 655k] f32 — conv 1.90 ms vs
+        # band 2.43 ms); Kp=43 rows at [32, 131k] (3/10, k128 — band
+        # 0.30 ms vs conv 0.45 ms; band's dense cost is independent of
+        # tap count, conv's grows with it, so band owns long-tap
+        # resamplers).
+        "resample": {
+            "conv": {11: 1.10e10, 43: 9.33e9},
+            "band": {11: 8.64e9, 43: 1.38e10},
+        },
     },
     "cpu": {
         "filter": {
@@ -113,6 +125,24 @@ def best_method(device_family: str, n_taps: int, factor: int = 1,
     else:
         fam, key = "decimate", -(-n_taps // factor)
     table = measured_rates(device_family).get(fam, {})
+    best, best_rate = "conv", 0.0
+    for method, rates in table.items():
+        r = _rate_at(rates, key)
+        if r > best_rate:
+            best, best_rate = method, r
+    return best
+
+
+def best_resample_method(device_family: str, n_taps: int,
+                         interpolation: int, decimation: int,
+                         num: int = 1 << 20) -> str:
+    """Execution path for a rational (I > 1) resampler: argmax over the
+    measured 'resample' family, keyed by taps per phase ceil(K/I).
+    Small problems take the gather path (dispatch overhead dominates)."""
+    if num < 4096 and device_family != "tpu":
+        return "direct"
+    key = -(-n_taps // interpolation)
+    table = measured_rates(device_family).get("resample", {})
     best, best_rate = "conv", 0.0
     for method, rates in table.items():
         r = _rate_at(rates, key)

@@ -138,6 +138,61 @@ def test_resample_complex(rng, interp, decim):
     assert np.abs(np.asarray(got) - want).max() < TOL
 
 
+@pytest.mark.parametrize("interp,decim", [(3, 10), (2, 3), (7, 23),
+                                          (13, 5), (16, 3)])
+def test_resample_band_matches_oracle(rng, interp, decim):
+    """method='band' (the r3 banded-matmul formulation, ops/fir.py
+    _resample_band) is differentially identical to the oracle, including
+    the phase carry, random start offsets, and the ragged gather tail."""
+    size, ntaps = 4096, 31
+    x = rand_real(rng, size)
+    taps = rand_real(rng, ntaps)
+    offset = int(rng.integers(0, interp))
+    start = int(rng.integers(0, 64))
+    num = fir.resample_output_count(size - start, ntaps, interp, decim,
+                                    offset)
+    want, want_off = fir.fir_resample(taps, interp, decim, x, offset, num,
+                                      method="direct", start=start)
+    got, got_off = fir.fir_resample(taps, interp, decim, x, offset, num,
+                                    method="band", start=start)
+    assert got_off == want_off
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=TOL)
+
+
+def test_resample_band_complex(rng):
+    """Complex input takes the planar real-batch view on the band path."""
+    interp, decim, size, ntaps = 3, 10, 2048, 64
+    x = rand_complex(rng, size)
+    taps = rand_real(rng, ntaps)
+    num = fir.resample_output_count(size, ntaps, interp, decim, 0) - 4
+    want, _ = resample_oracle(taps, interp, decim, x.astype(np.complex128),
+                              0, num)
+    got, _ = fir.fir_resample(taps, interp, decim, x, 0, num, method="band")
+    assert np.abs(np.asarray(got) - want).max() < TOL
+
+
+def test_resample_band_streaming(rng):
+    """The streaming Fir resampler with method='band' streams chunked ==
+    whole (the seam-split start offsets exercise the band's origin
+    folding) and agrees with the conv path on the same stream."""
+    import jax.numpy as jnp
+    from sdr_tpu.stream import Fir
+    taps = rand_real(rng, 31)
+    x = rand_real(rng, 12600)
+    op = Fir.resampler(taps, 3, 10, method="band")
+    whole_c = op.apply(op.init_carry(12600, jnp.float32), jnp.asarray(x))[1]
+    parts, c = [], op.init_carry(840, jnp.float32)
+    for i in range(0, 12600, 840):
+        c, y = op.apply(c, jnp.asarray(x[i:i + 840]))
+        parts.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(parts),
+                               np.asarray(whole_c), atol=TOL)
+    op2 = Fir.resampler(taps, 3, 10, method="conv")
+    whole2 = op2.apply(op2.init_carry(12600, jnp.float32), jnp.asarray(x))[1]
+    np.testing.assert_allclose(np.asarray(whole_c), np.asarray(whole2),
+                               atol=TOL)
+
+
 def test_resample_complex128_input(rng):
     """Non-complex64 input must NOT hit the interleaved-float32 view.
 
