@@ -78,24 +78,28 @@ def geometry(n_b: int, stride: int, num: int, q_out: int):
 def build_views(raw, stride: int, rows: int, aligned: bool):
     """xm [rows, stride] main rows + xh [rows, LANE] halo rows.
 
-    Aligned: xm is a bitcast reshape (no copy of the input); xh is a
-    small strided gather whose final row is 0x80 (the u8 stream's zero
-    sample) — it only feeds window tails of outputs past ``num``, which
-    the caller discards.  Unaligned: 0x80-pad then reshape (copies)."""
-    if aligned:
-        xm = raw.reshape(rows, stride)
-        xh0 = (raw[stride:].reshape(rows - 1, stride)[:, :LANE]
-               if rows > 1 else
-               jnp.zeros((0, LANE), jnp.uint8))
-        xh = jnp.concatenate(
-            [xh0, jnp.full((1, LANE), 0x80, jnp.uint8)], axis=0)
-        return xm, xh
-    need = (rows + 1) * stride
-    if raw.shape[-1] < need:
-        raw = jnp.pad(raw, (0, need - raw.shape[-1]),
-                      constant_values=0x80)
-    xm = raw[: rows * stride].reshape(rows, stride)
-    xh = raw[stride: stride + rows * stride].reshape(rows, stride)[:, :LANE]
+    xm is a free reshape of the input (start-aligned slice = a view);
+    xh rows are xm shifted by ONE ROW (xm[1:, :LANE]) plus a final 0x80
+    row (the u8 stream's zero sample — it only feeds window tails of
+    outputs past ``num``, which the caller discards).  A
+    non-start-aligned slice (``raw[stride:]``) must never appear here:
+    XLA materializes it as a FULL copy of the input (measured at ~3 ms
+    per 32x10 MiB on the r2 form of this function).  Unaligned buffers
+    0x80-pad to a whole number of rows first (copies)."""
+    if not aligned:
+        need = rows * stride + LANE
+        if raw.shape[-1] < need:
+            raw = jnp.pad(raw, (0, need - raw.shape[-1]),
+                          constant_values=0x80)
+        # the final row's halo may be real bytes past the last whole row
+        # (raw longer than rows*stride) — a tiny slice, cheap because its
+        # OUTPUT is 128 bytes (slice cost follows output size)
+        tail = raw[rows * stride: rows * stride + LANE].reshape(1, LANE)
+        xm = raw[: rows * stride].reshape(rows, stride)
+        return xm, jnp.concatenate([xm[1:, :LANE], tail], axis=0)
+    xm = raw.reshape(rows, stride)
+    xh = jnp.concatenate(
+        [xm[1:, :LANE], jnp.full((1, LANE), 0x80, jnp.uint8)], axis=0)
     return xm, xh
 
 

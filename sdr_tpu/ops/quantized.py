@@ -10,8 +10,10 @@ accumulation:
 * the interleaved u8 block is viewed as non-overlapping window rows
   ``X[p, s] = raw[p*stride + s]`` (one free reshape); each row's window
   tail past ``stride`` lives at the start of row p+1, so the dot splits
-  into a main part over ``X`` and a small halo part over the shifted
-  view — the overlapping window matrix never materializes;
+  into a main part over ``X`` and a small halo part whose rows are the
+  MAIN VIEW shifted by one row (plus one tiny tail slice) — the
+  overlapping window matrix never materializes and no full-input copy
+  is ever made (a non-start-aligned slice would be one);
 * the u8 samples feed the MXU DIRECTLY: with a per-column constant
   ``corr[c] = 128 * sum_w B[w, c]`` (host-side),
   ``X_u8 @ B - corr  ==  (X - 128) @ B`` exactly — no ``x ^ 0x80``
@@ -126,19 +128,32 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
     a free reshape feeding the MXU directly, no window matrix and no
     elementwise offset pass; see the module docstring), 'pallas'
     (kernels/u8_front_pallas.py — same plan, windows stay in VMEM,
-    bit-identical output), or 'auto' = 'xla'.  Auto prefers the XLA
-    formulation because it MEASURES faster: the r2 same-window A/B put
-    the Pallas kernel at 15.3-17.2 ms vs XLA across every band geometry
-    Q in {32,64,128} x {s8,s16} (near-identical times across 4x MXU-work
-    variation = the kernel is grid/DMA-bound), and the r3 A/B of XLA
-    formulations landed the current u8-direct split dot at 8.3 ms
-    (s16, Q=64) vs 8.6 ms for the xor+concat form.  ``byte_off``
+    bit-identical output), or 'auto' = 'pallas' on TPU when the window
+    tail fits the kernel's 128-byte halo row, else 'xla'.  History of
+    the r3 measurements that set this (bench_front_ab.json, 32x10 MiB
+    chain shapes): the r2 xor+concat XLA form measured 8.6 ms and the
+    Pallas kernel 12-15 ms — BOTH dominated by a non-start-aligned
+    slice in their operand construction that XLA materializes as a FULL
+    input copy; with halo rows derived from the start-aligned main view
+    instead, XLA drops to 4.6 ms and the Pallas kernel to 3.37 ms
+    (s16, Q=64 — windows never touch HBM, so it wins once the operands
+    are views).  ``byte_off``
     statically shifts every window by that many bytes into ``raw``
     (zero-copy streaming seams; see u8_front_plan).  ``q_out`` picks the
     band geometry (outputs per window row) — any value yields identical
     samples; Q=64 measured fastest (Q=32 loses ~20% despite half the
     MACs — the op is not MXU-bound at chain shapes).
     """
+    if impl == "auto":
+        # r3 measured dispatch: with the shifted-main-view operands the
+        # Pallas kernel WINS on TPU (3.37 ms vs 4.63 XLA at the chain's
+        # 32x10 MiB, s16 Q=64 — bench_front_ab.json); it requires the
+        # window tail to fit its 128-byte halo row.  CPU keeps XLA
+        # (interpret-mode Pallas is a correctness path only).
+        from sdr_tpu.utils.device import on_tpu
+        n_taps = np.asarray(taps).shape[0]
+        fits = byte_off + 2 * (n_taps - 1) + 2 - 2 * factor <= 128
+        impl = "pallas" if (on_tpu() and fits) else "xla"
     if impl == "pallas":
         from sdr_tpu.kernels.u8_front_pallas import u8_front_pallas
         return u8_front_pallas(taps, factor, raw, num,
@@ -167,30 +182,36 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
         raw = jnp.pad(raw, [(0, 0)] * (raw.ndim - 1)
                       + [(0, need - raw.shape[-1])])
     lead = raw.shape[:-1]
-    # main rows: a free reshape of the input (never copied); each row's
-    # window tail past ``stride`` is the first W - stride bytes of row
-    # p+1, read through a second, shifted view — the overlapping window
-    # matrix X2 of the r2 formulation never materializes
+    # main rows: a free reshape of the input (never copied — the slice
+    # starts at 0, which XLA treats as a view); each row's window tail
+    # past ``stride`` is the first hw = W - stride bytes of row p+1, so
+    # the halo rows come from the MAIN VIEW shifted by one row plus one
+    # tiny tail slice — total copy cost ~hw/stride of the input.  (The
+    # r2 form read the halo through ``raw[stride:]``, a non-start-aligned
+    # slice that XLA materializes as a FULL copy of the input: measured
+    # 8.3 -> 4.6 ms for the whole op when replaced by this, r3 A/B.)
     main = raw[..., : P * stride].reshape(lead + (P, stride))
-    nxt = raw[..., stride: stride + P * stride]
-    pad = P * stride - nxt.shape[-1]
-    if pad > 0:
-        nxt = jnp.pad(nxt, [(0, 0)] * (raw.ndim - 1) + [(0, pad)])
-    halo = nxt.reshape(lead + (P, stride))[..., : W - stride]
+    hw = max(0, W - stride)
     # hi|lo bands side by side in ONE dot — the input is read once for
     # both bands; the u8 samples feed the dot directly and the constant
     # column correction applies the -128 offset afterwards (exact):
     #   (X - 128) @ B  ==  X_u8 @ B - 128 * colsum(B)
     # (measured ~4% faster than the x^0x80 bitcast pass, r3 A/B)
     B2 = Bhi if Blo is None else np.concatenate([Bhi, Blo], axis=1)
+    if B2.shape[0] < stride:                    # K <= f: band inside a row
+        B2 = np.pad(B2, [(0, stride - B2.shape[0]), (0, 0)])
     corr = jnp.asarray(128 * B2.sum(axis=0, dtype=np.int64),
                        dtype=jnp.int32)
     cdims = (((main.ndim - 1,), (0,)), ((), ()))
-    acc2 = (jax.lax.dot_general(main, jnp.asarray(B2[:stride]), cdims,
-                                preferred_element_type=jnp.int32)
-            + jax.lax.dot_general(halo, jnp.asarray(B2[stride:]), cdims,
-                                  preferred_element_type=jnp.int32)
-            - corr)
+    acc2 = jax.lax.dot_general(main, jnp.asarray(B2[:stride]), cdims,
+                               preferred_element_type=jnp.int32) - corr
+    if hw > 0:
+        tail = raw[..., P * stride: P * stride + hw].reshape(
+            lead + (1, hw))
+        halo = jnp.concatenate([main[..., 1:, :hw], tail], axis=-2)
+        acc2 = acc2 + jax.lax.dot_general(halo, jnp.asarray(B2[stride:]),
+                                          cdims,
+                                          preferred_element_type=jnp.int32)
     if Blo is None:
         acc = acc2
     else:
