@@ -414,14 +414,15 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32,
     except (OSError, ValueError):
         pass
 
-    def case(name, fn, in_complex_samples, operands, stage_idx=None):
+    def case(name, fn, in_complex_samples, operands, stage_idx=None,
+             iters=None):
         if deadline is not None and time.time() > deadline:
             print(f"bench_stages: deadline before {name}", file=sys.stderr)
             return
         stage = rl["stages"][stage_idx] if stage_idx is not None else None
         fl = stage["floor_s"] if stage else 0.02
         try:
-            dt = _time_jit(fn, iters_for(fl), operands=operands)
+            dt = _time_jit(fn, iters or iters_for(fl), operands=operands)
             out[name] = {"sec": dt,
                          "gsps_equiv": in_complex_samples / dt / 1e9}
             if stage:
@@ -463,10 +464,22 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32,
                                        0, (n_d + 64) * 3 // 10,
                                        method="conv")[0], total, (xd,),
          stage_idx=2)
+    case("resample_3_10_k31_band",
+         lambda i, x: fir.fir_resample(ars, 3, 10,
+                                       x + i.astype(jnp.float32) * 1e-30,
+                                       0, (n_d + 64) * 3 // 10,
+                                       method="band")[0], total, (xd,),
+         stage_idx=2)
     case("audio_fir_k64",
          lambda i, x: fir.fir_filter(afl, x + i.astype(jnp.float32) * 1e-30,
                                      n_r, method="conv"), total, (xr,),
          stage_idx=3)
+    # the dispatched (auto) audio path: the Pallas banded kernel — fast
+    # enough that the calibrated difference needs many in-program reps
+    case("audio_fir_k64_pallas",
+         lambda i, x: fir.fir_filter(afl, x + i.astype(jnp.float32) * 1e-30,
+                                     n_r, method="pallas"), total, (xr,),
+         stage_idx=3, iters=128)
 
     # the full chain roofline rides along so every recorded stage can be
     # read against its hardware floor

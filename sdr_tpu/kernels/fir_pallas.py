@@ -46,12 +46,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _band_blocks(taps: np.ndarray, nt: int) -> np.ndarray:
-    """Stacked [nt*128, 128] band: B[t*128 + l, q] = taps[128 t + l - q]."""
+def _band_blocks(taps: np.ndarray, nt: int, shift: int = 0) -> np.ndarray:
+    """Stacked [nt*128, 128] band: B[t*128 + l, q] = taps[128t + l - q - shift].
+
+    ``shift`` folds a static sub-row input origin into the band (output o
+    reads x[shift + o + j]) — the zero-copy alternative to slicing the
+    input, which XLA would materialize as a full copy."""
     K = taps.shape[0]
     B = np.zeros((nt * LANE, LANE), dtype=np.float32)
     for q in range(LANE):
-        B[q: q + K, q] = taps
+        B[shift + q: shift + q + K, q] = taps
     return B
 
 
@@ -70,15 +74,21 @@ def _kernel(f: int, nt: int, x_ref, h_ref, b_ref, o_ref):
 
 
 def _fir_pallas_1d(taps_np: np.ndarray, x, num: int, factor: int,
-                   interpret: bool):
-    """x: [N] float32 -> [num] float32; taps_np static at trace time."""
+                   interpret: bool, start: int = 0):
+    """x: [N] float32 -> [num] float32; taps_np static at trace time.
+
+    ``start`` (unit stride only): static input origin folded into the
+    band as a row shift — output o reads x[start + o + j] without
+    slicing the input (a non-start-aligned slice is a full HBM copy).
+    Requires 0 <= start < 128 (the streaming seam's rebase offsets are
+    always sub-row)."""
     K = taps_np.shape[0]
     f = factor
     P = -(-num // (ROWS * LANE))
 
     if f == 1:
         comps = x[None, :]
-        Kf = K
+        Kf = K + start
         sub_taps = [taps_np]
     else:
         Kf = -(-K // f)
@@ -97,8 +107,9 @@ def _fir_pallas_1d(taps_np: np.ndarray, x, num: int, factor: int,
     if nt > HALO:
         raise ValueError(f"{K} taps at factor {f} exceed kernel halo")
 
-    B = jnp.asarray(np.concatenate([_band_blocks(t, nt) for t in sub_taps],
-                                   axis=0))    # [f*nt*128, 128]
+    B = jnp.asarray(np.concatenate(
+        [_band_blocks(t, nt, shift=start) for t in sub_taps],
+        axis=0))                               # [f*nt*128, 128]
 
     # rows layout [f, T, 128]; need T >= (P+... main rows P*ROWS plus halo
     rows_needed = P * ROWS + HALO
@@ -130,7 +141,7 @@ def _fir_pallas_1d(taps_np: np.ndarray, x, num: int, factor: int,
 
 
 def fir_strided(taps, x, num: int, factor: int = 1, *,
-                interpret: bool | None = None):
+                interpret: bool | None = None, start: int = 0):
     """Strided FIR via the Pallas aligned banded-matmul kernel.
 
     Matches ``ops.fir.fir_decimate`` semantics:
@@ -143,8 +154,12 @@ def fir_strided(taps, x, num: int, factor: int = 1, *,
         interpret = jax.default_backend() == "cpu"
     taps_np = np.asarray(taps, dtype=np.float32)
     x = jnp.asarray(x, dtype=jnp.float32)
+    if start and (factor != 1 or not 0 <= start < LANE):
+        # strided or beyond-one-row origins: explicit slice fallback
+        x = x[..., start:]
+        start = 0
     fn = functools.partial(_apply_1d, taps_np, num=num, factor=factor,
-                           interpret=interpret)
+                           interpret=interpret, start=start)
     lead = x.shape[:-1]
     if lead:
         flat = x.reshape((-1, x.shape[-1]))
@@ -153,5 +168,5 @@ def fir_strided(taps, x, num: int, factor: int = 1, *,
     return fn(x)
 
 
-def _apply_1d(taps_np, x, num, factor, interpret):
-    return _fir_pallas_1d(taps_np, x, num, factor, interpret)
+def _apply_1d(taps_np, x, num, factor, interpret, start=0):
+    return _fir_pallas_1d(taps_np, x, num, factor, interpret, start)

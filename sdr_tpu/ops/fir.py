@@ -271,9 +271,9 @@ def _dispatch(taps_np: np.ndarray, x, num: int, factor: int, method: str,
         y = _fir_conv(jnp.asarray(taps_np), xr, num, factor, start)
     elif method == "pallas":
         from sdr_tpu.kernels import fir_pallas
-        if start:  # the kernel has no origin parameter; explicit slice
-            xr = xr[..., start:]
-        y = fir_pallas.fir_strided(taps_np, xr, num, factor)
+        # sub-row unit-stride origins fold into the kernel's band
+        # (zero-copy); the kernel slices explicitly otherwise
+        y = fir_pallas.fir_strided(taps_np, xr, num, factor, start=start)
     else:
         raise ValueError(f"unknown method {method!r}")
     return rebuild(y)
@@ -510,16 +510,22 @@ def _resample_band(taps_np: np.ndarray, I: int, D: int, x, offset: int,
     n_band = min(num, P * G)
     lead = x.shape[:-1]
     if P > 0:
+        # main rows: a free reshape (start-aligned).  Halo rows from the
+        # MAIN VIEW shifted by one row plus a tiny tail slice — never a
+        # non-start-aligned slice of the input, which XLA materializes
+        # as a FULL copy (the front end's r3 lesson, ops/quantized.py)
         main = x[..., : P * S].reshape(lead + (P, S))
         cdims = (((main.ndim - 1,), (0,)), ((), ()))
         y = jax.lax.dot_general(main, jnp.asarray(B[:S]), cdims,
                                 preferred_element_type=jnp.float32)
         if halo_w > 0:
-            nxt = x[..., S: S + P * S]
-            pad = P * S - nxt.shape[-1]
-            if pad > 0:
-                nxt = jnp.pad(nxt, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-            halo = nxt.reshape(lead + (P, S))[..., :halo_w]
+            tail = x[..., P * S: P * S + halo_w]
+            tpad = halo_w - tail.shape[-1]
+            if tpad > 0:
+                tail = jnp.pad(tail, [(0, 0)] * (x.ndim - 1) + [(0, tpad)])
+            halo = jnp.concatenate(
+                [main[..., 1:, :halo_w], tail.reshape(lead + (1, halo_w))],
+                axis=-2)
             y = y + jax.lax.dot_general(halo, jnp.asarray(B[S: S + halo_w]),
                                         cdims,
                                         preferred_element_type=jnp.float32)

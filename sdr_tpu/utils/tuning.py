@@ -50,15 +50,15 @@ MEASURED = {
         },
         # rational (I > 1), keyed by taps per phase ceil(K/I); band =
         # the r3 banded-matmul formulation (ops/fir.py _resample_band).
-        # Input samples/sec, r3 TPU A/B: Kp=11 rows at the headline
-        # chain's 3/10 stage shape ([32, 655k] f32 — conv 1.90 ms vs
-        # band 2.43 ms); Kp=43 rows at [32, 131k] (3/10, k128 — band
-        # 0.30 ms vs conv 0.45 ms; band's dense cost is independent of
-        # tap count, conv's grows with it, so band owns long-tap
-        # resamplers).
+        # Input samples/sec, r3 TPU A/B with the shifted-main-view halo:
+        # band wins EVERY measured regime — Kp=11 at the headline
+        # chain's 3/10 stage shape ([32, 655k] f32): band 1.34 ms vs
+        # conv 1.90; Kp=43 at [32, 131k] (3/10 k128): band 0.20 ms vs
+        # conv 0.48 (band's dense cost is independent of tap count,
+        # conv's grows with it, so the margin widens with taps).
         "resample": {
-            "conv": {11: 1.10e10, 43: 9.33e9},
-            "band": {11: 8.64e9, 43: 1.38e10},
+            "conv": {11: 1.10e10, 43: 8.68e9},
+            "band": {11: 1.57e10, 43: 2.06e10},
         },
     },
     "cpu": {
