@@ -177,7 +177,9 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
                                                q_out=q_out,
                                                byte_off=byte_off)
     P = -(-num // q_out)
-    need = (P - 1) * stride + W
+    # main view needs P whole rows even when the band is narrower than a
+    # row (K < f makes W < stride)
+    need = max((P - 1) * stride + W, P * stride)
     if need > raw.shape[-1]:
         raw = jnp.pad(raw, [(0, 0)] * (raw.ndim - 1)
                       + [(0, need - raw.shape[-1])])

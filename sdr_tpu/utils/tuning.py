@@ -25,7 +25,7 @@ import json
 import math
 import os
 
-__all__ = ["best_method", "measured_rates"]
+__all__ = ["best_method", "best_resample_method", "measured_rates"]
 
 # samples/sec by {family: {method: {key: rate}}}.
 # family 'filter' = unit stride, keyed by tap count; 'decimate' =

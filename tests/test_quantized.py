@@ -209,6 +209,21 @@ def test_segmented_batched_continuation(rng):
                                    atol=1e-5)
 
 
+def test_short_taps_edge(rng):
+    """Taps shorter than the decimation factor (the band ends inside one
+    window row, W < stride): the split main/halo formulation must still
+    match the exact f32 path."""
+    for K, f in [(3, 8), (5, 8), (8, 8)]:
+        taps = rng.uniform(-1, 1, K).astype(np.float32)
+        raw = jnp.asarray(rng.integers(0, 256, 4096).astype(np.uint8))
+        num = (4096 // 2 - K) // f + 1
+        got = fir_decimate_u8_planar(taps, f, raw, num, impl="xla")
+        x = convert.iq_u8_to_cfloat(raw)
+        want = fir.fir_decimate(taps, f, x, num, method="direct")
+        want = jnp.stack([want.real, want.imag], axis=-2)
+        assert float(jnp.abs(got - want).max()) < 3e-4
+
+
 def test_q_out_geometry_invariance(rng):
     """Any band geometry q_out must yield bit-identical samples (it only
     moves the MXU-work / lane-fill tradeoff), including combined with a
