@@ -29,24 +29,24 @@ __all__ = ["best_method", "best_resample_method", "measured_rates"]
 
 # samples/sec by {family: {method: {key: rate}}}.
 # family 'filter' = unit stride, keyed by tap count; 'decimate' =
-# strided, keyed by TAPS PER PHASE ceil(K/f) — the r2 matrix showed the
-# winner flips with the polyphase band density, not the raw tap count
-# (k51/d8 i.e. 7/phase: conv 10.5 vs pallas 8.1 G/s; k128/d4 i.e.
-# 32/phase: pallas 15.5 vs conv 4.1 G/s).  TPU rows are the r2 batched
-# calibrated-pair matrix VERBATIM (bench_kernels.json, real-input rows
+# strided, keyed by TAPS PER PHASE ceil(K/f) — the winner flips with
+# the polyphase band density, not the raw tap count (k51/d8 i.e.
+# 7/phase: conv 11.7 vs pallas 7.8 G/s; k128/d4 i.e. 32/phase: pallas
+# 13.3 vs conv 4.6 G/s).  TPU rows are the r3 batched
+# calibrated-pair matrix VERBATIM (bench_kernels.json r3, real-input rows
 # at [32, n] in-chain shapes — single 1-D convs degenerate ~100x on TPU
 # and must not seed this table).  CPU numbers are rough orders from the
 # test machine — CPU is a correctness backend, not a target.
 MEASURED = {
     "tpu": {
         "filter": {
-            "conv":   {32: 3.21e9, 128: 9.76e8, 512: 1.79e8},
-            "direct": {32: 4.76e8},
-            "pallas": {32: 8.82e10, 128: 7.19e10, 512: 4.67e10},
+            "conv":   {32: 3.33e9, 128: 9.60e8, 512: 1.79e8},
+            "direct": {32: 4.86e8},
+            "pallas": {32: 6.84e10, 128: 8.39e10, 512: 5.50e10},
         },
         "decimate": {
-            "conv":   {7: 1.05e10, 32: 4.06e9},
-            "pallas": {7: 8.10e9, 32: 1.55e10},
+            "conv":   {7: 1.17e10, 32: 4.58e9},
+            "pallas": {7: 7.80e9, 32: 1.33e10},
         },
         # rational (I > 1), keyed by taps per phase ceil(K/I); band =
         # the r3 banded-matmul formulation (ops/fir.py _resample_band).
