@@ -360,9 +360,18 @@ def fir_resample(taps, interpolation: int, decimation: int, x,
         from sdr_tpu.utils import tuning
         method = tuning.best_resample_method(
             "tpu" if on_tpu() else "cpu", taps_np.shape[0], I, D, num)
-    if method == "band":
+    if method in ("band", "band_pallas", "band_xla"):
         xr, rebuild = _as_real_batch(x)
-        y = _resample_band(taps_np, I, D, xr, offset, num, start)
+        y = None
+        if method != "band_xla":
+            # lane-aligned Pallas formulation (kernels/resample_pallas.py)
+            # wherever its geometry applies; the XLA band is the fallback
+            from sdr_tpu.kernels import resample_pallas
+            y = resample_pallas.resample_band(
+                taps_np, I, D, xr, offset, num, start,
+                required=(method == "band_pallas"))
+        if y is None:
+            y = _resample_band(taps_np, I, D, xr, offset, num, start)
         return rebuild(y), end_offset
     method = _pick_method(method, num, D, taps_np.shape[0])
     if method == "direct":

@@ -159,6 +159,43 @@ def test_resample_band_matches_oracle(rng, interp, decim):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=TOL)
 
 
+@pytest.mark.parametrize("interp,decim,ntaps", [(3, 10, 31), (3, 10, 128),
+                                                (2, 3, 64), (5, 7, 33),
+                                                (7, 4, 21)])
+def test_resample_band_pallas_matches_xla(rng, interp, decim, ntaps):
+    """The lane-aligned Pallas band (kernels/resample_pallas.py) against
+    the XLA band and the oracle, across offsets and sub-row origins —
+    long enough input that several main rows plus the ragged tail run."""
+    size = 16384
+    x = rand_real(rng, size)
+    taps = rand_real(rng, ntaps)
+    offset = int(rng.integers(0, interp))
+    start = int(rng.integers(0, 32))
+    num = fir.resample_output_count(size - start, ntaps, interp, decim,
+                                    offset)
+    got, got_off = fir.fir_resample(taps, interp, decim, x, offset, num,
+                                    method="band_pallas", start=start)
+    want, want_off = fir.fir_resample(taps, interp, decim, x, offset, num,
+                                      method="band_xla", start=start)
+    assert got_off == want_off
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=TOL)
+    oracle, _ = resample_oracle(taps, interp, decim, x[start:], offset, num)
+    np.testing.assert_allclose(np.asarray(got), oracle, atol=TOL)
+
+
+def test_resample_band_pallas_falls_back(rng):
+    """Geometry the Pallas band can't serve (num < one output group)
+    silently takes the XLA band under method='band', and raises only
+    when explicitly required."""
+    x = rand_real(rng, 4096)
+    taps = rand_real(rng, 31)
+    got, _ = fir.fir_resample(taps, 3, 10, x, 0, 64, method="band")
+    want, _ = fir.fir_resample(taps, 3, 10, x, 0, 64, method="direct")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=TOL)
+    with pytest.raises(ValueError):
+        fir.fir_resample(taps, 3, 10, x, 0, 64, method="band_pallas")
+
+
 def test_resample_band_complex(rng):
     """Complex input takes the planar real-batch view on the band path."""
     interp, decim, size, ntaps = 3, 10, 2048, 64
