@@ -39,7 +39,8 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
              front_precision: str = "s16", front_q_out: int = 64,
              atan2: str = "poly",
              stereo: bool = False, fs_in: float = 1_280_000.0,
-             deemphasis: float | None = None):
+             deemphasis: float | None = None,
+             deemphasis_mode: str = "iir"):
     """Broadcast FM receiver ops (config #1; examples/fm/fm.hs:32-41):
     u8 IQ -> decimate 8 -> FM demod -> 3/10 resample -> audio FIR -> volume.
 
@@ -75,11 +76,14 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
 
     ``deemphasis``: RC time constant in seconds (75e-6 in the Americas,
     50e-6 in Europe) — adds the standard broadcast de-emphasis at the
-    audio rate as a truncated-impulse-response FIR (64 taps; the
-    single-pole response decays in ~4 samples at 48 kHz, so truncation
-    error is ~1e-8 — and unlike the Iir form it time-shards and batches
-    exactly).  ``None`` (default) omits it, matching the reference's
-    example chain.
+    audio rate.  ``deemphasis_mode='iir'`` (default) is the true
+    single-pole IIR as an :class:`~sdr_tpu.stream.Iir` stage — exact
+    response, and it time-shards exactly via the matrix affine-prefix
+    carry (parallel/halo.py).  ``'fir'`` substitutes the 64-tap
+    truncated-impulse-response FIR (truncation error ~1e-8 at 48 kHz;
+    rides the FIR dispatch/Pallas paths, marginally faster per block).
+    ``None`` (default) omits the stage, matching the reference's example
+    chain.
     """
     rf, ars, afl = fm_taps()
     if front == "auto":
@@ -92,10 +96,16 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
         from sdr_tpu.ops.iir import biquad, deemphasis_taps
         audio_fs = fs_in / 8 * 3 / 10
         b, a = deemphasis_taps(audio_fs, deemphasis)
-        impulse = np.zeros(64, dtype=np.float32)
-        impulse[0] = 1.0
-        h = np.asarray(biquad(b, a, impulse), dtype=np.float32)
-        back.insert(2, Fir.filter(h, method=method))
+        if deemphasis_mode == "iir":
+            from sdr_tpu.stream import Iir
+            back.insert(2, Iir(np.concatenate([b, a])))
+        elif deemphasis_mode == "fir":
+            impulse = np.zeros(64, dtype=np.float32)
+            impulse[0] = 1.0
+            h = np.asarray(biquad(b, a, impulse), dtype=np.float32)
+            back.insert(2, Fir.filter(h, method=method))
+        else:
+            raise ValueError(f"unknown deemphasis_mode {deemphasis_mode!r}")
     if stereo:
         from sdr_tpu.stream import StereoDecode
         back = [StereoDecode(fs=fs_in / 8), *back]

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["left_halo", "right_shift_scalar", "substitute_first",
-           "exclusive_affine_prefix"]
+           "exclusive_affine_prefix", "exclusive_matrix_affine_prefix"]
 
 
 def _rotate_right(v, axis_name: str, fill=0):
@@ -94,3 +94,39 @@ def exclusive_affine_prefix(a, b, axis_name: str):
     (A, B), _ = jax.lax.scan(step, (jnp.ones_like(a), jnp.zeros_like(b)),
                              (As, Bs, mask))
     return A, B
+
+
+def exclusive_matrix_affine_prefix(M, v, axis_name: str):
+    """Exclusive prefix-composition of per-shard affine maps on state
+    VECTORS, ``s -> M @ s + v`` with ``M [..., p, p]`` and ``v [..., p]``
+    — the order-p generalization of :func:`exclusive_affine_prefix`.
+
+    Used to time-shard order-p linear recurrences (:class:`~sdr_tpu.stream
+    .Iir` biquad cascades) *exactly*: each shard reduces its block to one
+    affine map on the recurrence state; this returns, per shard, the
+    composition ``(A, b)`` of all maps to its left (identity on shard 0),
+    i.e. the state entering the shard is ``A @ s_initial + b``.  One
+    all_gather of p*(p+1) scalars per shard — O(devices * p^2) tiny
+    values over ICI, negligible next to the sample data.  This is the
+    generalization of the reference's cross-block recurrence carry
+    (c_sources/filter.c:152-161) to arbitrary-order IIR under sharding.
+    """
+    idx = jax.lax.axis_index(axis_name)
+    Ms = jax.lax.all_gather(M, axis_name)   # [n_shards, ..., p, p]
+    vs = jax.lax.all_gather(v, axis_name)   # [n_shards, ..., p]
+    n = Ms.shape[0]
+    mask = jnp.arange(n) < idx
+    eye = jnp.broadcast_to(jnp.eye(M.shape[-1], dtype=M.dtype), M.shape)
+
+    # compose left-to-right: (A, b) := (M_i @ A, M_i @ b + v_i) for i < idx
+    def step(carry, item):
+        A, b = carry
+        Mi, vi, m = item
+        Mi = jnp.where(m, Mi, eye)
+        vi = jnp.where(m, vi, jnp.zeros_like(vi))
+        return (jnp.matmul(Mi, A),
+                jnp.einsum("...ij,...j->...i", Mi, b) + vi), None
+
+    (A, b), _ = jax.lax.scan(step, (eye, jnp.zeros_like(v)),
+                             (Ms, vs, mask))
+    return A, b

@@ -608,17 +608,23 @@ class Iir(StreamOp):
     """Streaming cascaded-biquad IIR (ops/iir.py) with exact cross-block
     state: each section carries its last two inputs and outputs.
 
-    Not time-shardable (``time_shardable = False`` -> runners fail fast
-    with an actionable error): the exact sharded form needs a prefix
-    composition of per-shard 2nd-order transition matrices, which is not
-    implemented.  For the common de-emphasis case use the truncated-FIR
-    equivalent ``fm_chain(deemphasis=...)`` builds instead — it shards.
+    Time-shardable EXACTLY: each section is an order-2 linear recurrence,
+    so a shard's block reduces to one affine map on the state vector
+    ``(y[-1], y[-2])`` — ``s -> C^n s + v`` with ``C`` the (constant)
+    companion matrix and ``v`` the zero-entering-state final state — and
+    an exclusive prefix composition across shards
+    (:func:`~sdr_tpu.parallel.halo.exclusive_matrix_affine_prefix`)
+    yields the exact recurrence state entering every shard.  Cascaded
+    sections resolve left-to-right: section ``s+1``'s input stream is
+    section ``s``'s exact local output, available once section ``s``'s
+    entering state is known.  Cost: each section's scan runs twice
+    (once inside ``shard_carry``, once in ``apply``) — IIR stages are
+    tiny next to the FIR/demod stages, and exactness is the contract.
 
     De-emphasis, notch and equalizer filters for receive chains — the
-    generalization of the reference's one hard-coded IIR (dcBlocker).
+    generalization of the reference's one hard-coded IIR (dcBlocker,
+    c_sources/filter.c:152-161) to arbitrary biquad cascades.
     """
-
-    time_shardable = False
 
     def __init__(self, sos):
         sos = np.asarray(sos, dtype=np.float32)
@@ -652,6 +658,60 @@ class Iir(StreamOp):
             x = y
         return ((jnp.stack(new_xin, axis=-2),
                  jnp.stack(new_yout, axis=-2)), x)
+
+    def shard_carry(self, x, axis_name, initial=None):
+        """Exact entering state per shard for every section (docstring).
+
+        ``initial = (xin0, yout0)`` (the carry pytree of a previous
+        segment) continues the stream exactly: shard 0's entering state
+        becomes ``A_prefix @ s0 + b_prefix`` with ``A_prefix`` the
+        composed prefix matrix (identity on shard 0 itself).
+        """
+        from sdr_tpu.ops import iir as iir_ops
+        from sdr_tpu.parallel.halo import (
+            left_halo, substitute_first, exclusive_matrix_affine_prefix)
+        x = jnp.asarray(x, jnp.float32)
+        n = x.shape[-1]
+        S = self.sos.shape[0]
+        xin_list, yout_list = [], []
+        for s in range(S):
+            b, a = self.sos[s, :3], self.sos[s, 3:]
+            coeffs = np.array([-a[1], -a[2]], dtype=np.float32)
+            # last two inputs of this section's stream, from the left
+            # neighbor (zeros on shard 0 = warmup, like every other halo)
+            xin = left_halo(x, 2, axis_name)
+            if initial is not None:
+                xin = substitute_first(xin, initial[0][..., s, :],
+                                       axis_name)
+            xp = jnp.concatenate([xin, x], axis=-1)
+            drive = (b[0] * xp[..., 2:] + b[1] * xp[..., 1:-1]
+                     + b[2] * xp[..., :-2])
+            # local affine reduction with zero entering y-state:
+            # s_final = C^n @ s_enter + v,  v = zero-state final state
+            y_zero = iir_ops.linear_recurrence(coeffs, drive)
+            C = np.array([[coeffs[0], coeffs[1]], [1.0, 0.0]],
+                         dtype=np.float64)
+            Mn = jnp.asarray(np.linalg.matrix_power(C, n)
+                             .astype(np.float32))
+            v = jnp.stack([y_zero[..., -1], y_zero[..., -2]], axis=-1)
+            M = jnp.broadcast_to(Mn, v.shape[:-1] + (2, 2))
+            A, enter = exclusive_matrix_affine_prefix(M, v, axis_name)
+            if initial is not None:
+                # yout0 stores time order (y[-2], y[-1]); state is
+                # (y[-1], y[-2])
+                s0 = jnp.stack([initial[1][..., s, 1],
+                                initial[1][..., s, 0]], axis=-1)
+                enter = enter + jnp.einsum("...ij,...j->...i", A,
+                                           jnp.asarray(s0, enter.dtype))
+            xin_list.append(xin)
+            # carry stores time order (y[-2], y[-1])
+            yout_list.append(jnp.stack([enter[..., 1], enter[..., 0]],
+                                       axis=-1))
+            if s + 1 < S:
+                # section s's EXACT local output drives section s+1
+                x = iir_ops.linear_recurrence(coeffs, drive, enter)
+        return (jnp.stack(xin_list, axis=-2),
+                jnp.stack(yout_list, axis=-2))
 
 
 class AmDemod(StreamOp):

@@ -243,3 +243,46 @@ def test_time_batched_pallas_backhalf_matches_conv():
     b = parallel.run_time_batched(
         fm_chain(method="conv", front="quantized"), raw, 2)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_time_sharded_iir_cascade_exact(rng, mesh8):
+    """Exact IIR time-sharding (matrix affine prefix): a sharded biquad
+    cascade equals the sequential streamed run (VERDICT r3 #5)."""
+    from sdr_tpu.stream import Iir
+    import scipy.signal
+    sos = scipy.signal.butter(4, 0.2, output="sos").astype(np.float32)
+    x = rng.uniform(-1, 1, 8192).astype(np.float32)
+    chain = [Iir(sos)]
+    want = single_device_reference(chain, x, 1024)
+    got = np.asarray(parallel.run_time_sharded(chain, mesh8, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_time_batched_iir_segment_continuation(rng):
+    """Iir under the batch formulation, with carries continuing a stream
+    across segments exactly (initial= path of Iir.shard_carry)."""
+    from sdr_tpu.stream import Iir
+    import scipy.signal
+    sos = scipy.signal.butter(4, 0.15, output="sos").astype(np.float32)
+    x = rng.uniform(-1, 1, 4096).astype(np.float32)
+    chain = [Iir(sos)]
+    want = single_device_reference(chain, x, 512)
+    # two 4-block segments, state handed across the seam
+    c1, y1 = parallel.run_time_batched(chain, jnp.asarray(x[:2048]), 4,
+                                       return_carries=True)
+    y2 = parallel.run_time_batched(chain, jnp.asarray(x[2048:]), 4,
+                                   carries=c1)
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_time_sharded_fm_chain_iir_deemphasis(rng, mesh8):
+    """The FM chain with the true-IIR de-emphasis stage time-shards and
+    matches the sequential run."""
+    from sdr_tpu.apps.chains import fm_chain
+    chain = fm_chain(deemphasis=75e-6, deemphasis_mode="iir")
+    raw = rng.integers(0, 256, 81920 * 8).astype(np.uint8)
+    want = single_device_reference(chain, raw, 81920)
+    got = np.asarray(parallel.run_time_sharded(chain, mesh8,
+                                               jnp.asarray(raw)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
