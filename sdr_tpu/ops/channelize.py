@@ -28,7 +28,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from sdr_tpu.ops import design
-from sdr_tpu.ops.fir import _gather_windows
 
 __all__ = ["polyphase_channelize", "channelizer_taps"]
 
@@ -43,38 +42,69 @@ def channelizer_taps(n_channels: int, taps_per_branch: int = 8,
 
 
 def polyphase_channelize(taps, n_channels: int, x,
-                         num: Optional[int] = None):
+                         num: Optional[int] = None, method: str = "auto"):
     """[..., N] complex wideband -> [..., C, M] channel streams.
 
     ``taps``: prototype low-pass (length padded up to a multiple of C).
     Channel c is centered at +c/C cycles/sample (wrap for negative).
     ``num`` limits output samples per channel (default: all computable,
     M = N//C - P + 1 with P = taps per branch).
+
+    ``method``:
+
+    * ``'stencil'`` (the TPU path, 'auto' everywhere) — gather-free.
+      The branch-filter sum ``v[m, r] = sum_p h[pC+r] * x[(m+p)C + r]``
+      reads the FREE row-major reshape ``x2[..., m, r] = x[..., mC+r]``
+      as P shifted views weighted by the tap rows: a P-term fused
+      elementwise stencil (one HBM pass post-fusion), with the branch
+      axis landing in the LANES.  The C-point branch DFT then runs along
+      that contiguous last axis (the MXU matmul DFT when C factors), and
+      one output-side transpose produces the [..., C, M] channel layout.
+    * ``'gather'`` — the old [..., C, num, P] window-gather + einsum
+      form.  TPU gathers materialize P copies of the stream through HBM
+      (DESIGN §2); kept as the differential oracle / tiny-input path.
     """
     C = int(n_channels)
     taps = np.asarray(taps, dtype=np.float32)
     P = -(-taps.shape[0] // C)
     h = np.zeros(C * P, dtype=np.float32)
     h[: taps.shape[0]] = taps
-    h_poly = h.reshape(P, C).T                      # [C, P], h_poly[r, p]
+    h_poly = h.reshape(P, C)                        # [P, C], h_poly[p, r]
 
     x = jnp.asarray(x)
     n = x.shape[-1]
     usable = (n // C) * C
-    x = x[..., :usable]
+    if usable < n:
+        x = x[..., :usable]
     m_total = usable // C
     if num is None:
         num = m_total - P + 1
     num = int(num)
     if num < 1:
         raise ValueError("input shorter than one filterbank window")
+    if method == "auto":
+        method = "stencil"
 
-    # x_poly[..., r, m] = x[..., m*C + r]
-    x_poly = jnp.swapaxes(x.reshape(x.shape[:-1] + (m_total, C)), -1, -2)
-    # branch windows [..., C, num, P]
-    starts = np.arange(num, dtype=np.int64)
-    W = _gather_windows(x_poly, starts, P,
-                        jnp.arange(num, dtype=jnp.int32))
-    v = jnp.einsum("...cmp,cp->...cm", W, jnp.asarray(h_poly))
-    # DFT across branches: y[..., c, m] = sum_r v[..., r, m] w^{-cr}
-    return jnp.fft.fft(v, axis=-2)
+    if method == "gather":
+        from sdr_tpu.ops.fir import _gather_windows
+        # x_poly[..., r, m] = x[..., m*C + r]
+        x_poly = jnp.swapaxes(x.reshape(x.shape[:-1] + (m_total, C)),
+                              -1, -2)
+        starts = np.arange(num, dtype=np.int64)
+        W = _gather_windows(x_poly, starts, P,
+                            jnp.arange(num, dtype=jnp.int32))
+        v = jnp.einsum("...cmp,cp->...cm", W, jnp.asarray(h_poly.T))
+        # DFT across branches: y[..., c, m] = sum_r v[..., r, m] w^{-cr}
+        return jnp.fft.fft(v, axis=-2)
+    if method != "stencil":
+        raise ValueError(f"unknown method {method!r}")
+
+    # stencil: free reshape, P weighted shifted views, lane-axis DFT
+    x2 = x.reshape(x.shape[:-1] + (m_total, C))     # [..., m, r] free
+    hb = jnp.asarray(h_poly)                        # [P, C]
+    v = x2[..., 0:num, :] * hb[0]
+    for p in range(1, P):
+        v = v + x2[..., p:p + num, :] * hb[p]
+    from sdr_tpu.ops import fftops
+    Y = fftops.fft(v, axis=-1)                      # [..., num, C]
+    return jnp.swapaxes(Y, -1, -2)

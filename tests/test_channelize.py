@@ -120,3 +120,17 @@ def test_streaming_channelize_time_sharded(rng):
     mesh = parallel.time_mesh(8)
     got = np.asarray(parallel.run_time_sharded([op], mesh, jnp.asarray(x)))
     np.testing.assert_allclose(got, np.asarray(whole), atol=1e-4)
+
+
+def test_stencil_matches_gather(rng):
+    """The gather-free stencil formulation (the TPU path) must match the
+    window-gather oracle exactly (VERDICT r3 #6)."""
+    from sdr_tpu.ops.channelize import polyphase_channelize, channelizer_taps
+    for C, P in ((8, 5), (64, 12)):
+        taps = channelizer_taps(C, P)
+        x = (rng.normal(size=4096) + 1j * rng.normal(size=4096)
+             ).astype(np.complex64)
+        a = np.asarray(polyphase_channelize(taps, C, x, method="stencil"))
+        b = np.asarray(polyphase_channelize(taps, C, x, method="gather"))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-4)
