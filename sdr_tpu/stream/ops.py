@@ -502,6 +502,28 @@ class StereoDecode(StreamOp):
 
     ``separation_gain=2`` matches the standard multiplex scaling
     (half-amplitude subcarrier): L = mono + 2*diff, R = mono - 2*diff.
+
+    **Pilot lock** (``pilot_lock=True``, default): an explicit
+    lock/unlock decision gates the difference channel — the classic
+    failure mode of open-loop stereo decoding is a confident-looking
+    stereo image synthesized from noise when no pilot exists.  Per
+    block, the normalized pilot power ``r = mean(bp19(x)^2) /
+    mean(x^2)`` is compared against a hysteresis pair: ``r > lock_hi``
+    locks (stereo), ``r < lock_lo`` unlocks (mono: the difference
+    channel is zeroed so L == R), in between the previous block's state
+    holds.  A locked broadcast composite has ``r`` ≈ 0.03-1 (pilot is
+    ~10% deviation; the upper end is silence), a pilot-free signal ≈ 0,
+    so the defaults (0.02 / 0.005) sit an order of magnitude from both.
+    The lock recurrence is block-rate and *exactly* time-shardable: each
+    shard's decision is an affine map on the entering lock state
+    (decisive -> constant, hysteresis-hold -> identity), composed across
+    shards by :func:`~sdr_tpu.parallel.halo.exclusive_affine_prefix` —
+    sharded output equals the sequential streamed run bit-for-bit.
+    (Decisions are made per block, so a *marginal* signal holding ``r``
+    inside the hysteresis band can decode differently under different
+    block sizes; decisive signals — the operating regime — cannot.)
+    The soft Wiener normalization below still conditions the recovered
+    carrier while locked.
     """
 
     H = 192                     # carry: trailing composite samples
@@ -509,7 +531,8 @@ class StereoDecode(StreamOp):
     extra_block_dims = 1        # the [2] L/R plane axis (time stays -1)
 
     def __init__(self, fs: float = 160_000.0, separation_gain: float = 2.0,
-                 pilot_floor: float = 1e-4):
+                 pilot_floor: float = 1e-4, pilot_lock: bool = True,
+                 lock_hi: float = 0.02, lock_lo: float = 0.005):
         ny = fs / 2
         if ny <= 53_000:
             # the DSB upper edge is 53 kHz and the hardcoded band-edge
@@ -539,6 +562,10 @@ class StereoDecode(StreamOp):
         self.avg = np.full(K, 1.0 / K, dtype=np.float32)
         self.gain = float(separation_gain)
         self.pilot_floor = float(pilot_floor)
+        self.pilot_lock = bool(pilot_lock)
+        if not (0.0 <= lock_lo < lock_hi):
+            raise ValueError("need 0 <= lock_lo < lock_hi")
+        self.lock_hi, self.lock_lo = float(lock_hi), float(lock_lo)
 
     def out_len(self, n_in):
         return n_in
@@ -550,11 +577,19 @@ class StereoDecode(StreamOp):
         return batch_shape + (2,)
 
     def init_carry(self, n_in, in_dtype, batch_shape=()):
-        return jnp.zeros(batch_shape + (self.H,), dtype=jnp.float32)
+        return (jnp.zeros(batch_shape + (self.H,), dtype=jnp.float32),
+                jnp.zeros(batch_shape, dtype=jnp.float32))  # lock state
+
+    def _lock_metric(self, xe, sq):
+        """Normalized pilot power of the (extended) block — the lock
+        decision input, computed identically in apply and shard_carry."""
+        return (jnp.mean(sq, axis=-1)
+                / (jnp.mean(xe * xe, axis=-1) + 1e-12))
 
     def apply(self, carry, x):
+        hist, lock = carry
         n = x.shape[-1]
-        xe = jnp.concatenate([carry, x], axis=-1)        # [.., H + n]
+        xe = jnp.concatenate([hist, x], axis=-1)         # [.., H + n]
         nt = xe.shape[-1]
         d = (self.K - 1) // 2                            # 32
         # centered-FIR index algebra: fir_filter output m is centered at
@@ -564,11 +599,11 @@ class StereoDecode(StreamOp):
         car = fir.fir_filter(self.bp38, sq, nt - 4 * d)       # center +64
         norm = fir.fir_filter(self.avg, sq, nt - 4 * d)       # center +64
         # Wiener-style soft normalization: ~car/norm when the pilot power
-        # is well above ``pilot_floor``, rolling smoothly to ZERO (mono
-        # blend) as it vanishes — a hard division would amplify noise
-        # into full-scale garbage on pilot-free (mono) signals.  A true
-        # pilot-lock detector is future work; with no pilot at all the
-        # difference channel is simply muted.
+        # is well above ``pilot_floor``, rolling smoothly to ZERO as it
+        # vanishes — a hard division would amplify noise into full-scale
+        # garbage on pilot-free (mono) signals.  The explicit pilot-lock
+        # decision below handles the on/off question; this conditions the
+        # recovered carrier while locked.
         eps2 = self.pilot_floor ** 2
         car = car * norm / (norm * norm + eps2)
         prod = xe[..., 2 * d: 2 * d + nt - 4 * d] * car  # aligned +64
@@ -576,14 +611,44 @@ class StereoDecode(StreamOp):
         # mono: compute exactly the n emitted outputs (centers
         # [H-96, H+n-96)) via the zero-copy start origin
         m = fir.fir_filter(self.lp15, xe, n, start=self.H - 4 * d)
-        s = diff[..., :n] * self.gain
+        if self.pilot_lock:
+            r = self._lock_metric(xe, sq)
+            new_lock = jnp.where(
+                r > self.lock_hi, jnp.ones_like(lock),
+                jnp.where(r < self.lock_lo, jnp.zeros_like(lock), lock))
+            gate = new_lock[..., None]
+        else:
+            new_lock, gate = lock, 1.0
+        s = diff[..., :n] * self.gain * gate
         y = jnp.stack([m + s, m - s], axis=-2)
-        return xe[..., nt - self.H:], y
+        return (xe[..., nt - self.H:], new_lock), y
 
     def shard_carry(self, x, axis_name, initial=None):
-        from sdr_tpu.parallel.halo import left_halo, substitute_first
+        from sdr_tpu.parallel.halo import (left_halo, substitute_first,
+                                           exclusive_affine_prefix)
         h = left_halo(x, self.H, axis_name)
-        return substitute_first(h, initial, axis_name)
+        if initial is not None:
+            h = substitute_first(h, initial[0], axis_name)
+        lock0 = jnp.zeros(x.shape[:-1], jnp.float32)
+        if initial is not None:
+            lock0 = jnp.broadcast_to(
+                jnp.asarray(initial[1], jnp.float32), lock0.shape)
+        if not self.pilot_lock:
+            return (h, lock0)
+        # the EXACT entering lock state: each shard's block decision is
+        # an affine map on the lock (decisive -> constant, hold ->
+        # identity), composed by the scalar affine prefix.  r is computed
+        # from the same extended buffer apply will see, so apply's
+        # recomputed decision reproduces the sequential stream exactly.
+        xe = jnp.concatenate([h, jnp.asarray(x, jnp.float32)], axis=-1)
+        d = (self.K - 1) // 2
+        pilot = fir.fir_filter(self.bp19, xe, xe.shape[-1] - 2 * d)
+        r = self._lock_metric(xe, pilot * pilot)
+        decisive = (r > self.lock_hi) | (r < self.lock_lo)
+        a = jnp.where(decisive, 0.0, 1.0)
+        b = jnp.where(r > self.lock_hi, 1.0, 0.0)
+        A, B = exclusive_affine_prefix(a, b, axis_name)
+        return (h, A * lock0 + B)
 
 
 class FmMod(StreamOp):

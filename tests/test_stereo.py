@@ -136,3 +136,94 @@ def test_single_planar_op_sharded_shapes():
         [op2], parallel.time_mesh(8), raw))
     _, w2 = op2.apply(None, raw)
     np.testing.assert_array_equal(g2, np.asarray(w2))
+
+
+def make_mono_composite(n, fs=FS, pilot_amp=0.0):
+    """Composite with NO stereo content: mono program + optional pilot."""
+    t = np.arange(n) / fs
+    mono = 0.5 * np.sin(2 * np.pi * F_L * t)
+    comp = mono + pilot_amp * np.cos(2 * np.pi * 19_000 * t)
+    return comp.astype(np.float32)
+
+
+def test_pilot_lock_locks_on_pilot():
+    """Standard composite (10% pilot) -> locked, stereo decoded."""
+    n = 1 << 15
+    comp, _, _ = make_composite(n)
+    op = StereoDecode(FS)
+    (h, lock), y = op.apply(op.init_carry(n, jnp.float32),
+                            jnp.asarray(comp))
+    assert float(lock) == 1.0
+    y = np.asarray(y)
+    # stereo: channels differ
+    assert np.max(np.abs(y[0, 4096:] - y[1, 4096:])) > 0.01
+
+
+def test_pilot_lock_mono_fallback_no_pilot():
+    """Pilot-free input -> unlocked, difference channel muted (L == R)."""
+    n = 1 << 15
+    comp = make_mono_composite(n, pilot_amp=0.0)
+    op = StereoDecode(FS)
+    (h, lock), y = op.apply(op.init_carry(n, jnp.float32),
+                            jnp.asarray(comp))
+    assert float(lock) == 0.0
+    y = np.asarray(y)
+    np.testing.assert_array_equal(y[0], y[1])
+
+
+def test_pilot_lock_weak_pilot_stays_mono():
+    """A pilot far below the lock threshold must NOT synthesize a
+    confident stereo image (the classic failure mode)."""
+    n = 1 << 15
+    comp = make_mono_composite(n, pilot_amp=0.005)
+    op = StereoDecode(FS)
+    (h, lock), y = op.apply(op.init_carry(n, jnp.float32),
+                            jnp.asarray(comp))
+    assert float(lock) == 0.0
+    y = np.asarray(y)
+    np.testing.assert_array_equal(y[0], y[1])
+
+
+def test_pilot_lock_unlock_transition_and_hysteresis():
+    """Blockwise: lock on pilot blocks, HOLD through a marginal block
+    (hysteresis), unlock on a pilot-free block."""
+    nb = 8192
+    op = StereoDecode(FS)
+    c = op.init_carry(nb, jnp.float32)
+    # block 1: strong pilot -> lock
+    c, _ = op.apply(c, jnp.asarray(make_composite(nb)[0]))
+    assert float(c[1]) == 1.0
+    # block 2: marginal pilot (r inside the hysteresis band) -> hold lock
+    t = np.arange(nb) / FS
+    marginal = (0.5 * np.sin(2 * np.pi * F_L * t)
+                + 0.05 * np.cos(2 * np.pi * 19_000 * t)).astype(np.float32)
+    r = np.mean((0.05 * np.cos(2 * np.pi * 19_000 * t)) ** 2) / np.mean(
+        marginal ** 2)
+    assert op.lock_lo < r < op.lock_hi, f"test signal r={r} not marginal"
+    c, _ = op.apply(c, jnp.asarray(marginal))
+    assert float(c[1]) == 1.0
+    # block 3: no pilot -> unlock
+    c, y = op.apply(c, jnp.asarray(make_mono_composite(nb)))
+    assert float(c[1]) == 0.0
+    y = np.asarray(y)
+    np.testing.assert_array_equal(y[0], y[1])
+
+
+def test_pilot_lock_sharded_equals_streamed():
+    """The lock recurrence (affine prefix over block decisions) keeps
+    sharded == streamed exact across a lock->unlock transition."""
+    from sdr_tpu import parallel
+    nb, shards = 8192, 8
+    comp_a, _, _ = make_composite(nb * 4)
+    comp_b = make_mono_composite(nb * 4)
+    comp = np.concatenate([comp_a, comp_b])
+    op = StereoDecode(FS)
+    got = parallel.run_time_sharded([op], parallel.time_mesh(shards),
+                                    jnp.asarray(comp))
+    c = op.init_carry(nb, jnp.float32)
+    outs = []
+    for b in range(shards):
+        c, y = op.apply(c, jnp.asarray(comp[b * nb:(b + 1) * nb]))
+        outs.append(np.asarray(y))
+    want = np.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
