@@ -130,15 +130,20 @@ def am_chain(if_freq: float = 0.25, decim: int = 16, agc_mu: float = 0.005,
     ``if_freq`` (cycles/sample) to DC -> decimating channel filter ->
     AGC -> envelope -> DC block -> volume.
 
-    ``agc_approx=R`` enables the approximate time-sharded AGC (R
-    refinement sweeps, see :class:`~sdr_tpu.stream.Agc`) so the chain can
-    run block-parallel (``run_time_batched`` / ``Pipeline.run_batched``);
-    by default time-sharding this chain fails fast at construction."""
+    The default AGC is the linear associative-scan form
+    (:class:`~sdr_tpu.stream.Agc` ``method='linear'``): TPU-fast and
+    time-shardable exactly, so the chain runs block-parallel
+    (``run_time_batched`` / ``run_time_sharded``) out of the box.
+    ``agc_approx=R`` instead selects the literal sequential AGC with the
+    R-sweep approximate sharding (the pathological-regime fallback)."""
     chan = design.windowed_sinc(64, 1.0 / decim, design.hamming)
+    agc = (Agc(agc_mu, 1.0) if agc_approx is None
+           else Agc(agc_mu, 1.0, method="scan",
+                    approx_time_sharding=agc_approx))
     return [IqConvertU8(),
             Mix(-if_freq),
             Fir.decimator(chan, decim, method=method),
-            Agc(agc_mu, 1.0, approx_time_sharding=agc_approx),
+            agc,
             AmDemod(),
             Map(lambda x: x - jnp.mean(x, axis=-1, keepdims=True)),
             Scale(volume)]

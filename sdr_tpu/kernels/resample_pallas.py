@@ -120,11 +120,15 @@ def _kernel(S, col_plans, x_ref, h_ref, b_ref, o_ref):
         o_ref[:, cols] = acc
 
 
-def _tile_rows(P: int, S: int) -> int:
-    for tile in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+def _tile_rows(P: int, S: int):
+    """Largest valid row tile, or None.  Mosaic requires the sublane
+    (second-minor) block dim divisible by 8 or equal to the array dim."""
+    for tile in (512, 256, 128, 64, 32, 16, 8):
         if P % tile == 0 and tile * S * 4 <= MAX_TILE_BYTES:
             return tile
-    return 1
+    if P * S * 4 <= MAX_TILE_BYTES:
+        return P          # single tile == whole array: always legal
+    return None
 
 
 def _resample_band_1d(taps_np, I, D, x, offset, num, start, interpret,
@@ -143,6 +147,9 @@ def _resample_band_1d(taps_np, I, D, x, offset, num, start, interpret,
         xh = jnp.concatenate([xm[1:, :LANE], tail.reshape(1, LANE)], axis=0)
         B = jnp.asarray(_build_band(taps_np, I, i_g, o_g, start, WB, G))
         tile = _tile_rows(P, S)
+        if tile is None:
+            from sdr_tpu.ops.fir import _resample_band
+            return _resample_band(taps_np, I, D, x, offset, num, start)
         out = pl.pallas_call(
             functools.partial(_kernel, S, tuple(col_plans)),
             grid=(P // tile,),

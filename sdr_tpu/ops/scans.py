@@ -15,9 +15,22 @@ AGC — reference SDR/Util.hs:329-348 (``agc``/``agcPipe``):
     corrected[n] = x[n] * g[n]
     g[n+1]       = g[n] + mu * (reference - |corrected[n]|)
 
-This recurrence is *nonlinear* in g (|x[n]|*g appears inside), so it cannot
-be reformulated associatively; it stays a ``lax.scan`` — fine, because AGC
-runs at audio rate, off the hot path.
+This recurrence LOOKS nonlinear in g (|x[n]*g| appears inside), but
+``|x*g| = |x| * g`` whenever the gain is nonnegative, and then
+
+    g[n+1] = g[n] * (1 - mu*|x[n]|) + mu*reference
+
+is a first-order LINEAR recurrence in g — the same associative-scan form
+as the DC blocker, O(log n) depth instead of a per-sample ``lax.scan``
+(which is catastrophic on TPU: a million-sample sequential loop).  The
+positive-gain premise holds in every sane operating regime: it can only
+break if a single update overshoots, i.e. ``mu * |x[n]| * g[n] >
+g[n] + mu*reference``, which requires ``mu*|x| > 1`` — a loop gain that
+makes the true AGC unstable anyway.  ``method='linear'`` (the default)
+uses this form; ``method='scan'`` keeps the literal sequential recurrence
+as the oracle / pathological-regime fallback.  The linearization also
+makes AGC time-shardable EXACTLY (per-shard affine maps composed by
+``exclusive_affine_prefix``) — see stream.Agc.
 """
 
 from __future__ import annotations
@@ -67,15 +80,45 @@ def dc_blocker(x, last_sample=0.0, last_output=0.0, alpha=0.997):
     return y, (x[..., -1], y[..., -1])
 
 
-def agc(x, mu, reference, state=1.0):
+def agc_affine(x, mu, reference):
+    """The block's affine reduction of the (positive-gain) AGC recurrence:
+    returns ``(A, B)`` with ``g_out = A * g_in + B`` — the carry algebra
+    for exact time sharding (compose across shards with
+    ``exclusive_affine_prefix``)."""
+    mu = jnp.asarray(mu, dtype=jnp.float32)
+    reference = jnp.asarray(reference, dtype=jnp.float32)
+    a = 1.0 - mu * jnp.abs(x).astype(jnp.float32)
+    A = jnp.prod(a, axis=-1)
+    B = linear_scan(a, jnp.full_like(a, mu * reference),
+                    jnp.zeros(x.shape[:-1], jnp.float32))[..., -1]
+    return A, B
+
+
+def agc(x, mu, reference, state=1.0, method: str = "linear"):
     """Automatic gain control; returns (y, final_state).
 
     Reference: Util.hs:329-341.  state starts at 1 (Util.hs:348).
-    Complex input; gain is real.
+    Complex input; gain is real.  ``method='linear'`` (default) evaluates
+    the recurrence as an associative linear scan — exact under the
+    positive-gain premise (module docstring); ``'scan'`` is the literal
+    sequential form (the oracle, and the choice for pathological
+    ``mu*|x| > 1`` configurations).
     """
     state = jnp.asarray(state, dtype=jnp.float32)
     mu = jnp.asarray(mu, dtype=jnp.float32)
     reference = jnp.asarray(reference, dtype=jnp.float32)
+
+    if method == "linear":
+        a = 1.0 - mu * jnp.abs(x).astype(jnp.float32)
+        h = linear_scan(a, jnp.full_like(a, mu * reference), state)
+        # h[n] = g[n+1]; outputs use g[n] = (state, h[:-1])
+        g = jnp.concatenate(
+            [jnp.broadcast_to(state[..., None], x.shape[:-1] + (1,)),
+             h[..., :-1]], axis=-1)
+        return x * g.astype(x.dtype if not jnp.iscomplexobj(x)
+                            else jnp.float32), h[..., -1]
+    if method != "scan":
+        raise ValueError(f"unknown agc method {method!r}")
 
     def step(g, s):
         corrected = s * g

@@ -792,50 +792,69 @@ class AmDemod(StreamOp):
 class Agc(StreamOp):
     """Automatic gain control with gain carry (Util.hs:343-348).
 
-    AGC's gain recurrence is nonlinear (|x|*g inside the update,
-    Util.hs:335-341), so unlike every other carry in this module it cannot
-    be time-sharded *exactly*.  By default time-sharding an AGC chain
-    fails fast at runner construction.  ``approx_time_sharding=R`` opts
-    into a documented approximation: R parallel refinement sweeps, each
-    running the local AGC scan per shard and handing every shard's final
-    gain to its right neighbor (one ppermute) as the next sweep's entering
-    gain.  Because the recurrence forgets its initial gain exponentially
-    (rate ~mu*reference per sample), the entering-gain error after one
-    sweep is O(decay^n_block); with millions of samples per shard it is
-    far below the 0.01 differential bound (tests/test_parallel.py).
+    ``method='linear'`` (default): the gain recurrence evaluated as a
+    first-order linear associative scan — exact under the positive-gain
+    premise (``|x*g| = |x|*g``; see ops/scans.py, violated only at loop
+    gains ``mu*|x| > 1`` where the true AGC is unstable anyway).  O(log n)
+    depth on the VPU instead of a per-sample ``lax.scan``, and
+    time-shardable EXACTLY: each shard reduces its block to one affine
+    map ``g -> A*g + B`` (``scans.agc_affine``), composed across shards
+    by the same ``exclusive_affine_prefix`` the DC blocker uses.
+
+    ``method='scan'``: the literal sequential recurrence (the oracle and
+    the pathological-regime form).  Not exactly time-shardable — by
+    default sharded runners fail fast; ``approx_time_sharding=R`` opts
+    into R refinement sweeps, each running the local AGC scan per shard
+    and handing every shard's final gain to its right neighbor (one
+    ppermute).  Because the recurrence forgets its initial gain
+    exponentially (~mu*reference per sample), the entering-gain error
+    after one sweep is O(decay^n_block) — far below the 0.01 bound for
+    blocks much longer than the AGC time constant
+    (tests/test_parallel.py).
     """
 
-    time_shardable = False  # exact time sharding impossible (see docstring)
-
     def __init__(self, mu: float, reference: float, initial: float = 1.0,
+                 method: str = "linear",
                  approx_time_sharding: int | None = None):
         self.mu, self.reference, self.initial = mu, reference, initial
+        if method not in ("linear", "scan"):
+            raise ValueError(f"unknown agc method {method!r}")
+        self.method = method
         if approx_time_sharding is not None and approx_time_sharding < 1:
             raise ValueError("approx_time_sharding must be >= 1")
         self.approx_time_sharding = approx_time_sharding
-        self.time_shardable = approx_time_sharding is not None
+        self.time_shardable = (method == "linear"
+                               or approx_time_sharding is not None)
 
     def init_carry(self, n_in, in_dtype, batch_shape=()):
         return jnp.full(batch_shape, self.initial, dtype=jnp.float32)
 
     def apply(self, carry, x):
-        y, g = scans.agc(x, self.mu, self.reference, carry)
+        y, g = scans.agc(x, self.mu, self.reference, carry,
+                         method=self.method)
         return g, y
 
     def shard_carry(self, x, axis_name, initial=None):
-        if self.approx_time_sharding is None:
-            raise NotImplementedError(
-                "AGC cannot be time-sharded exactly; construct it with "
-                "Agc(..., approx_time_sharding=1) for the documented "
-                "approximation, or shard channels instead.")
-        from sdr_tpu.parallel.halo import right_shift_scalar
         g0 = jnp.asarray(self.initial if initial is None else initial,
                          jnp.float32)
         g0 = jnp.broadcast_to(g0, x.shape[:-1])
+        if self.method == "linear":
+            from sdr_tpu.parallel.halo import exclusive_affine_prefix
+            A, B = scans.agc_affine(x, self.mu, self.reference)
+            Ap, Bp = exclusive_affine_prefix(A, B, axis_name)
+            return Ap * g0 + Bp
+        if self.approx_time_sharding is None:
+            raise NotImplementedError(
+                "Agc(method='scan') cannot be time-sharded exactly; use "
+                "the default method='linear' (exact under the "
+                "positive-gain premise), approx_time_sharding=R for the "
+                "documented sweep approximation, or shard channels.")
+        from sdr_tpu.parallel.halo import right_shift_scalar
         first = jax.lax.axis_index(axis_name) == 0
         enter = g0
         for _ in range(self.approx_time_sharding):
-            _, g_final = scans.agc(x, self.mu, self.reference, enter)
+            _, g_final = scans.agc(x, self.mu, self.reference, enter,
+                                   method=self.method)
             shifted = right_shift_scalar(g_final, axis_name)
             enter = jnp.where(first, g0, shifted)
         return enter

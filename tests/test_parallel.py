@@ -126,13 +126,47 @@ def test_grid_sharded_channel_time(rng):
 
 def test_agc_time_sharding_fails_fast(rng, mesh8):
     """Unshardable ops are rejected at runner CONSTRUCTION with guidance,
-    not from deep inside shard_map tracing."""
+    not from deep inside shard_map tracing (the sequential-scan AGC
+    without the sweep opt-in; the default linear AGC shards exactly)."""
     from sdr_tpu.stream import Agc
     x = (np.ones(8192) + 0j).astype(np.complex64)
     with pytest.raises(ValueError, match="approx_time_sharding"):
-        parallel.run_time_sharded([Agc(0.01, 1.0)], mesh8, jnp.asarray(x))
+        parallel.run_time_sharded([Agc(0.01, 1.0, method="scan")], mesh8,
+                                  jnp.asarray(x))
     with pytest.raises(ValueError, match="approx_time_sharding"):
-        parallel.run_time_batched([Agc(0.01, 1.0)], jnp.asarray(x), 8)
+        parallel.run_time_batched([Agc(0.01, 1.0, method="scan")],
+                                  jnp.asarray(x), 8)
+
+
+def test_agc_linear_matches_scan(rng):
+    """The associative-scan AGC equals the literal sequential recurrence
+    in the operating regime (positive gain)."""
+    from sdr_tpu.ops import scans
+    x = ((1.5 + 0.3 * rng.normal(size=16384))
+         * np.exp(2j * np.pi * rng.uniform(size=16384))).astype(np.complex64)
+    y_lin, g_lin = scans.agc(jnp.asarray(x), 0.005, 1.0, 1.0,
+                             method="linear")
+    y_seq, g_seq = scans.agc(jnp.asarray(x), 0.005, 1.0, 1.0,
+                             method="scan")
+    np.testing.assert_allclose(np.asarray(y_lin), np.asarray(y_seq),
+                               atol=1e-4)
+    np.testing.assert_allclose(float(g_lin), float(g_seq), atol=1e-4)
+
+
+def test_agc_linear_exact_time_sharding(rng, mesh8):
+    """Default (linear) AGC time-shards EXACTLY via the affine prefix —
+    sharded == sequential streamed."""
+    from sdr_tpu.stream import Agc
+    n = 8 * 8192
+    x = ((2.0 + 0.2 * rng.normal(size=n))
+         * np.exp(2j * np.pi * rng.uniform(size=n))).astype(np.complex64)
+    chain = [Agc(0.005, 1.0)]
+    want = single_device_reference(chain, x, 8192)
+    got = np.asarray(parallel.run_time_sharded(chain, mesh8,
+                                               jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    got_b = np.asarray(parallel.run_time_batched(chain, jnp.asarray(x), 8))
+    np.testing.assert_allclose(got_b, want, atol=1e-4)
 
 
 def test_agc_approx_time_sharding(rng):
@@ -145,23 +179,31 @@ def test_agc_approx_time_sharding(rng):
     n, B = 65536, 8
     x = ((2.0 + 0.2 * rng.normal(size=n))
          * np.exp(2j * np.pi * rng.uniform(size=n))).astype(np.complex64)
-    want = single_device_reference([Agc(0.005, 1.0)], x, n // B)
+    want = single_device_reference([Agc(0.005, 1.0, method="scan")],
+                                   x, n // B)
     got = np.asarray(parallel.run_time_batched(
-        [Agc(0.005, 1.0, approx_time_sharding=2)], jnp.asarray(x), B))
+        [Agc(0.005, 1.0, method="scan", approx_time_sharding=2)],
+        jnp.asarray(x), B))
     np.testing.assert_allclose(got, want, atol=1e-3)
 
 
 def test_am_chain_batched_path(rng):
-    """BASELINE config #4 has a block-parallel path when the AGC opts into
-    approximate sharding — and fails fast when it does not."""
+    """BASELINE config #4 runs block-parallel out of the box (linear AGC
+    shards exactly) and matches the sequential streamed run; the
+    sequential-scan AGC variant still works via the sweep opt-in."""
     from sdr_tpu.apps.chains import am_chain
+    from sdr_tpu.stream import Pipeline
     raw = rng.integers(0, 256, 8 * 16384, dtype=np.uint8)
-    with pytest.raises(ValueError, match="approx_time_sharding"):
-        parallel.run_time_batched(am_chain(), jnp.asarray(raw), 8)
-    ops = am_chain(agc_approx=1)
+    ops = am_chain()
     y = np.asarray(parallel.run_time_batched(ops, jnp.asarray(raw), 8))
     assert y.shape == (8 * 16384 // 2 // 16,)
     assert np.isfinite(y).all()
+    p = Pipeline(ops, block_in=16384, in_dtype=jnp.uint8)
+    _, seq = p.process(raw)
+    np.testing.assert_allclose(y, np.asarray(seq), atol=1e-4)
+    y2 = np.asarray(parallel.run_time_batched(am_chain(agc_approx=1),
+                                              jnp.asarray(raw), 8))
+    assert np.isfinite(y2).all()
 
 
 def test_time_batched_matches_sequential(rng):
