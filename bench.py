@@ -249,6 +249,43 @@ def bench_chain_stream(method: str = "conv", front: str = "quantized",
     return (block // 2) / dt
 
 
+def bench_waterfall(block: int = 10_485_760, nblocks: int = 8,
+                    fft_size: int = 1024, hop: int = 512, iters: int = 8):
+    """BASELINE config #3: the waterfall spectral pipeline — u8 IQ ->
+    complex -> windowed overlapping ``fft_size``-point FFT magnitude rows
+    (the reference's fork -> fftw -> plotWaterfall chain,
+    examples + Plot.hs:72-78, run batched).  Rate = complex input
+    samples/sec (calibrated pair)."""
+    from sdr_tpu.apps.chains import waterfall_chain
+    from sdr_tpu.parallel.sharded import time_sharded_fn
+
+    ops = waterfall_chain(fft_size, hop)
+    fn = time_sharded_fn(ops, axis_name="b")
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.integers(0, 256, (nblocks, block), dtype=np.uint8))
+    dt = _time_jit(
+        lambda i, r: jax.vmap(fn, axis_name="b")(r + i.astype(jnp.uint8)),
+        iters, operands=(raw,))
+    return nblocks * block // 2 / dt
+
+
+def bench_am(block: int = 10_485_760, nblocks: int = 32, iters: int = 8):
+    """BASELINE config #4: the AM/airband chain — u8 IQ -> mix to DC ->
+    decimate 16 -> AGC (linear associative scan) -> envelope -> DC block
+    -> volume.  Rate = complex input samples/sec (calibrated pair)."""
+    from sdr_tpu.apps.chains import am_chain
+    from sdr_tpu.parallel.sharded import time_sharded_fn
+
+    ops = am_chain()
+    fn = time_sharded_fn(ops, axis_name="b")
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.integers(0, 256, (nblocks, block), dtype=np.uint8))
+    dt = _time_jit(
+        lambda i, r: jax.vmap(fn, axis_name="b")(r + i.astype(jnp.uint8)),
+        iters, operands=(raw,))
+    return nblocks * block // 2 / dt
+
+
 def bench_channelizer(n_channels: int = 64, n: int = 4_096_000,
                       iters: int = 8):
     """Secondary: the wideband polyphase-channelizer bank (BASELINE
@@ -778,7 +815,8 @@ def main():
     # deadline-trimmed run keeps earlier chain numbers — but only those:
     # kernel rows live solely in bench_kernels.json (round 2 left stale
     # per-kernel copies here that contradicted the fresh matrix file).
-    keep = ("fm_chain", "headline", "channelizer", "stages")
+    keep = ("fm_chain", "headline", "channelizer", "stages", "waterfall",
+            "am_chain")
     results = {}
     try:
         with open("bench_details.json") as fh:
@@ -873,7 +911,28 @@ def main():
             results["sections_run"].append("stages")
             _save_details(results)
 
-    # 3. kernel matrix — one subprocess PER CASE with a parent-enforced
+    # 3. the OTHER judged configs (BASELINE #3 waterfall, #4 AM,
+    #    #5 channelizer) — BEFORE the kernel matrix so a tight budget
+    #    trims tap-sweep rows, never a judged config (VERDICT r3 #2)
+    for tag, key, code in (
+        ("waterfall_1024", "waterfall_1024_hop512",
+         "import json, bench; print(json.dumps(bench.bench_waterfall()))"),
+        ("am_chain", "am_chain_batched",
+         "import json, bench; print(json.dumps(bench.bench_am()))"),
+        ("channelizer_64ch", "channelizer_64ch_wideband",
+         "import json, bench; print(json.dumps(bench.bench_channelizer()))"),
+    ):
+        if _remaining() <= 300:
+            print(f"bench: budget before {tag}", file=sys.stderr)
+            break
+        val = _subproc(code, tag, timeout=min(900.0, _remaining() - 60),
+                       attempts=1)
+        if val is not None:
+            results[key] = val
+            results["sections_run"].append(tag)
+            _save_details(results)
+
+    # 4. kernel matrix — one subprocess PER CASE with a parent-enforced
     #    timeout (hung remote compiles are uninterruptible in-process);
     #    the dump file (the canonical matrix artifact) accumulates rows
     #    incrementally and is NOT merged here
@@ -882,7 +941,7 @@ def main():
         if ran:
             results["sections_run"].append("kernels")
 
-    # 4. secondary formulations (recorded, not the headline)
+    # 5. secondary formulations (recorded, not the headline)
     if _remaining() > 300:
         stream = _subproc(
             "import json, bench; "
@@ -891,16 +950,6 @@ def main():
         if stream is not None:
             results["fm_chain_stream"] = stream
             results["sections_run"].append("stream")
-            _save_details(results)
-
-    if _remaining() > 300:
-        chan = _subproc(
-            "import json, bench; "
-            "print(json.dumps(bench.bench_channelizer()))",
-            "channelizer_64ch", timeout=_remaining() - 60, attempts=1)
-        if chan is not None:
-            results["channelizer_64ch_wideband"] = chan
-            results["sections_run"].append("channelizer")
             _save_details(results)
 
     for k, v in sorted(results.items()):

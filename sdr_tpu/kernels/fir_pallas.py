@@ -59,7 +59,7 @@ def _band_blocks(taps: np.ndarray, nt: int, shift: int = 0) -> np.ndarray:
     return B
 
 
-def _kernel(f: int, nt: int, x_ref, h_ref, b_ref, o_ref):
+def _kernel(f: int, nt: int, precision, x_ref, h_ref, b_ref, o_ref):
     """x_ref: [f, ROWS, 128] aligned rows; h_ref: [f, HALO, 128] halo rows;
     b_ref: [f*nt*128, 128] bands; o_ref: [ROWS, 128]."""
     acc = jnp.zeros((ROWS, LANE), dtype=jnp.float32)
@@ -69,6 +69,7 @@ def _kernel(f: int, nt: int, x_ref, h_ref, b_ref, o_ref):
             blk = (s * nt + t) * LANE
             acc = acc + jnp.dot(xfull[t: t + ROWS, :],
                                 b_ref[blk: blk + LANE, :],
+                                precision=precision,
                                 preferred_element_type=jnp.float32)
     o_ref[...] = acc
 
@@ -120,8 +121,9 @@ def _fir_pallas_1d(taps_np: np.ndarray, x, num: int, factor: int,
         comps = comps[..., :need]
     x2 = comps.reshape(comps.shape[0], rows_needed, LANE)
 
+    from sdr_tpu.utils.device import fir_precision
     out = pl.pallas_call(
-        functools.partial(_kernel, comps.shape[0], nt),
+        functools.partial(_kernel, comps.shape[0], nt, fir_precision()),
         grid=(P,),
         in_specs=[
             pl.BlockSpec((x2.shape[0], ROWS, LANE), lambda p: (0, p, 0),

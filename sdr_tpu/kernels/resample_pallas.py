@@ -106,16 +106,18 @@ def _build_band(taps_np, I, i_g, o_g, start, WB, G):
     return B
 
 
-def _kernel(S, col_plans, x_ref, h_ref, b_ref, o_ref):
+def _kernel(S, col_plans, precision, x_ref, h_ref, b_ref, o_ref):
     """x_ref [TILE_P, S] aligned rows; h_ref [TILE_P, LANE] next-row halo;
     b_ref [WB, G] band; o_ref [TILE_P, G]."""
     for c, (lo, hi) in enumerate(col_plans):
         cols = slice(c * LANE, (c + 1) * LANE)
         mh = min(hi, S)
         acc = jnp.dot(x_ref[:, lo:mh], b_ref[lo:mh, cols],
+                      precision=precision,
                       preferred_element_type=jnp.float32)
         if hi > S:
             acc = acc + jnp.dot(h_ref[:, : hi - S], b_ref[S:hi, cols],
+                                precision=precision,
                                 preferred_element_type=jnp.float32)
         o_ref[:, cols] = acc
 
@@ -150,8 +152,9 @@ def _resample_band_1d(taps_np, I, D, x, offset, num, start, interpret,
         if tile is None:
             from sdr_tpu.ops.fir import _resample_band
             return _resample_band(taps_np, I, D, x, offset, num, start)
+        from sdr_tpu.utils.device import fir_precision
         out = pl.pallas_call(
-            functools.partial(_kernel, S, tuple(col_plans)),
+            functools.partial(_kernel, S, tuple(col_plans), fir_precision()),
             grid=(P // tile,),
             in_specs=[
                 pl.BlockSpec((tile, S), lambda p: (p, 0),

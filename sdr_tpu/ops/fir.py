@@ -208,6 +208,11 @@ def _gather_windows(x, starts: np.ndarray, length: int, starts_dev=None):
     return jnp.take(x, idx, axis=-1)
 
 
+def _precision():
+    from sdr_tpu.utils.device import fir_precision
+    return fir_precision()
+
+
 def _fir_direct(taps_dev, x, num: int, factor: int, start: int = 0):
     """Gather-einsum path: works for any stride; reference semantics
     out[m] = sum_j taps[j] * x[start + m*factor + j]  (decimate.c:16-24)."""
@@ -216,6 +221,7 @@ def _fir_direct(taps_dev, x, num: int, factor: int, start: int = 0):
     starts_dev = jnp.arange(num, dtype=jnp.int32) * factor + start
     W = _gather_windows(x, starts, K, starts_dev)  # [..., num, K]
     return jnp.einsum("...mk,k->...m", W, taps_dev,
+                      precision=_precision(),
                       preferred_element_type=jnp.float32)
 
 
@@ -247,6 +253,7 @@ def _fir_conv(taps_dev, x, num: int, factor: int, start: int = 0):
     y = jax.lax.conv_general_dilated(
         xb, w, window_strides=(factor,), padding=[(-start, hi)],
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=_precision(),
         preferred_element_type=jnp.float32)
     return y.reshape(lead + (-1,))[..., :num]
 
@@ -388,6 +395,7 @@ def fir_resample(taps, interpolation: int, decimation: int, x,
         W = _gather_windows(xr, i_m.astype(np.int64) + start, Kp, i_dev)
         rows = jnp.take(jnp.asarray(table), o_dev, axis=0)  # [num, Kp]
         y = jnp.einsum("...mk,mk->...m", W, rows,
+                       precision=_precision(),
                        preferred_element_type=jnp.float32)
         return rebuild(y), end_offset
     if jnp.iscomplexobj(x):
@@ -444,6 +452,7 @@ def _resample_conv(taps_np: np.ndarray, I: int, D: int, x, offset: int,
         xb, jnp.asarray(Kmat), window_strides=(D,),
         padding=[(-lo, max(0, need - n))],
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=_precision(),
         preferred_element_type=jnp.float32)            # [B, I, >=Q]
     y = y[..., :Q]
     y = jnp.swapaxes(y, -1, -2).reshape(lead + (Q * I,))
@@ -526,6 +535,7 @@ def _resample_band(taps_np: np.ndarray, I: int, D: int, x, offset: int,
         main = x[..., : P * S].reshape(lead + (P, S))
         cdims = (((main.ndim - 1,), (0,)), ((), ()))
         y = jax.lax.dot_general(main, jnp.asarray(B[:S]), cdims,
+                                precision=_precision(),
                                 preferred_element_type=jnp.float32)
         if halo_w > 0:
             tail = x[..., P * S: P * S + halo_w]
@@ -536,7 +546,7 @@ def _resample_band(taps_np: np.ndarray, I: int, D: int, x, offset: int,
                 [main[..., 1:, :halo_w], tail.reshape(lead + (1, halo_w))],
                 axis=-2)
             y = y + jax.lax.dot_general(halo, jnp.asarray(B[S: S + halo_w]),
-                                        cdims,
+                                        cdims, precision=_precision(),
                                         preferred_element_type=jnp.float32)
         y = y.reshape(lead + (P * G,))[..., :n_band]
     else:
@@ -599,6 +609,7 @@ def _resample_conv_c(taps_np: np.ndarray, I: int, D: int, x, offset: int,
         xb, jnp.asarray(Kmat), window_strides=(2 * D,),
         padding=[(-lo, max(0, need - n))],
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=_precision(),
         preferred_element_type=jnp.float32)            # [B, 2I, >=Q]
     y = y[..., :Q]
     y = jnp.swapaxes(y, -1, -2).reshape(lead + (Q * 2 * I,))

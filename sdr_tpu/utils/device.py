@@ -13,10 +13,53 @@ to XLA's conv lowering, and everything to conv/direct on CPU.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 
-__all__ = ["device_kind", "on_tpu", "best_method", "feature_select"]
+__all__ = ["device_kind", "on_tpu", "best_method", "feature_select",
+           "fir_precision", "set_fir_precision"]
+
+
+# ---------------------------------------------------------------------------
+# Matmul precision policy for the f32 FIR/band/conv paths.
+#
+# The TPU MXU multiplies in bf16 by default (f32 operands are truncated;
+# accumulation stays f32).  Measured on-device at the reference's test
+# distribution (values uniform(-10,10), K=64), default precision leaves
+# 0.1-0.3 absolute error — 10-30x OUTSIDE the reference's 0.01
+# cross-implementation bound (tests/TestSuite.hs:284-289), invisible to
+# the CPU test suite (XLA:CPU matmuls are true f32).  HIGHEST (bf16x3,
+# ~6 MXU passes) restores f32-accurate products; every measured FIR stage
+# is HBM/VPU-bound rather than MXU-bound, so the accuracy is nearly free
+# — both precisions are benched (bench_kernels.json) and the dispatch
+# table records the dispatched-at precision.
+# ---------------------------------------------------------------------------
+
+_PRECISION_NAMES = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+_fir_precision = _PRECISION_NAMES[
+    os.environ.get("SDR_TPU_FIR_PRECISION", "highest").lower()]
+
+
+def fir_precision():
+    """The matmul precision used by the f32 FIR execution paths."""
+    return _fir_precision
+
+
+def set_fir_precision(name_or_prec):
+    """Set the FIR matmul precision ('default' | 'high' | 'highest' or a
+    ``jax.lax.Precision``).  Returns the previous value."""
+    global _fir_precision
+    prev = _fir_precision
+    if isinstance(name_or_prec, str):
+        _fir_precision = _PRECISION_NAMES[name_or_prec.lower()]
+    else:
+        _fir_precision = name_or_prec
+    return prev
 
 
 @functools.cache
