@@ -675,6 +675,33 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
         case(f"decimate_r_k51_d8_{method}",
              lambda i, x, m=method: fir.fir_decimate(
                  taps51, 8, pr(i, x), (nb32 - 51) // 8, method=m), (xb32,))
+    # the symmetric-kernel question (VERDICT r3 #8): the reference's
+    # single biggest hand-optimization folds mirrored inputs to halve
+    # multiplies for linear-phase taps (c_sources/common.h:160-260).
+    # DESIGN §2 argues the MAC-count identity (a symmetric K-tap filter
+    # IS two K/2-tap correlations over the same input) makes folding a
+    # wash on MXU hardware; these rows measure it: the full-K banded
+    # kernel vs the two-half-K formulation, same symmetric taps.
+    tsym_h = rng.uniform(-1, 1, 64).astype(np.float32)
+    tsym_f = np.concatenate([tsym_h, tsym_h[::-1]])
+    case("filter_r_k128sym_full_pallas",
+         lambda i, x: fir.fir_filter(tsym_f, pr(i, x), nb32 - 128 + 1,
+                                     method="pallas"), (xb32,))
+    case("filter_r_k128sym_full_conv",
+         lambda i, x: fir.fir_filter(tsym_f, pr(i, x), nb32 - 128 + 1,
+                                     method="conv"), (xb32,))
+    case("filter_r_k128sym_twohalf_pallas",
+         lambda i, x: (fir.fir_filter(tsym_h, pr(i, x), nb32 - 128 + 1,
+                                      method="pallas")
+                       + fir.fir_filter(tsym_h[::-1].copy(), x,
+                                        nb32 - 128 + 1, method="pallas",
+                                        start=64)), (xb32,))
+    case("filter_r_k128sym_twohalf_conv",
+         lambda i, x: (fir.fir_filter(tsym_h, pr(i, x), nb32 - 128 + 1,
+                                      method="conv")
+                       + fir.fir_filter(tsym_h[::-1].copy(), x,
+                                        nb32 - 128 + 1, method="conv",
+                                        start=64)), (xb32,))
     # dc_blocker LAST and small: its unrolled associative scan has twice
     # hung the tunnel's remote compile in a way no in-process timeout can
     # interrupt (the RPC blocks in C++ and never returns) — if it hangs

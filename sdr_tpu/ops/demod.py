@@ -79,10 +79,11 @@ def fm_demod(x, last=None):
     """
     if last is None:
         last = jnp.zeros(x.shape[:-1], dtype=x.dtype)
-    prev = jnp.concatenate(
-        [jnp.asarray(last)[..., None], x[..., :-1]], axis=-1)
-    y = jnp.angle(x * jnp.conj(prev))
-    return y, x[..., -1]
+    # shifted views instead of a concat([last, x[:-1]]) prev buffer (a
+    # full-block copy per step); see fm_demod_planar
+    y_main = jnp.angle(x[..., 1:] * jnp.conj(x[..., :-1]))
+    y0 = jnp.angle(x[..., 0:1] * jnp.conj(jnp.asarray(last)[..., None]))
+    return jnp.concatenate([y0, y_main], axis=-1), x[..., -1]
 
 
 def fm_demod_planar(x, last=None, atan2: str = "exact"):
@@ -103,13 +104,21 @@ def fm_demod_planar(x, last=None, atan2: str = "exact"):
     """
     if last is None:
         last = jnp.zeros(x.shape[:-2] + (2,), dtype=x.dtype)
-    prev = jnp.concatenate([jnp.asarray(last)[..., None], x[..., :-1]],
-                           axis=-1)
-    re, im = x[..., 0, :], x[..., 1, :]
-    pre, pim = prev[..., 0, :], prev[..., 1, :]
+    last = jnp.asarray(last)
     at2 = fast_atan2 if atan2 == "poly" else jnp.arctan2
-    y = at2(im * pre - re * pim, re * pre + im * pim)
-    return y, x[..., :, -1]
+    # No ``prev`` buffer: a concat([last, x[:-1]]) input would be a full
+    # planar copy of the block per step.  Main outputs read x through
+    # adjacent shifted views (elementwise -> fuses); the single seam
+    # output comes from the carry; the output concat is a fusion root
+    # (both parts write straight into one buffer, no extra pass).
+    re, im = x[..., 0, :], x[..., 1, :]
+    pre, pim = re[..., :-1], im[..., :-1]
+    y_main = at2(im[..., 1:] * pre - re[..., 1:] * pim,
+                 re[..., 1:] * pre + im[..., 1:] * pim)
+    l_re, l_im = last[..., 0:1], last[..., 1:2]
+    y0 = at2(im[..., 0:1] * l_re - re[..., 0:1] * l_im,
+             re[..., 0:1] * l_re + im[..., 0:1] * l_im)
+    return jnp.concatenate([y0, y_main], axis=-1), x[..., :, -1]
 
 
 def am_demod(x):

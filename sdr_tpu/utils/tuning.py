@@ -167,8 +167,8 @@ def _main(argv):
         parts = key.split("_")
         if parts[0] not in table or len(parts) < 4 or parts[1] != "r":
             continue
-        if parts[2][0] != "k":
-            continue
+        if parts[2][0] != "k" or not parts[2][1:].isdigit():
+            continue  # e.g. the k128sym comparison rows: not dispatch rows
         ktaps = int(parts[2][1:])
         if parts[0] == "decimate":
             factor = int(parts[3][1:]) if parts[3][0] == "d" else 4
