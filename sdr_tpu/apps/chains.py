@@ -36,7 +36,7 @@ def fm_taps():
 
 def fm_chain(volume: float = 0.2, method: str = "auto",
              planar: bool = False, front: str = "exact",
-             front_precision: str = "s16", front_q_out: int = 64,
+             front_precision: str = "s16", front_q_out: int | None = None,
              atan2: str = "poly",
              stereo: bool = False, fs_in: float = 1_280_000.0,
              deemphasis: float | None = None,

@@ -111,9 +111,14 @@ def u8_front_plan(taps, factor: int, precision: str = "s16",
                  int(q_out), int(byte_off))
 
 
+PALLAS_Q_DEFAULT = 128  # r4 sweep: 3.28 ms vs 3.55 (Q=64) / 4.21 (Q=256)
+                        # at chain shapes — the VMEM kernel's optimum sits
+                        # one step wider than the XLA form's (Q=64)
+
+
 def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
                            impl: str = "xla", precision: str = "s16",
-                           byte_off: int = 0, q_out: int = Q_DEFAULT):
+                           byte_off: int = 0, q_out: int | None = None):
     """Interleaved u8 IQ ``[..., 2n]`` -> decimated planar f32
     ``[..., 2, num]`` in one fused step (convert + K-tap decimate-by-f).
 
@@ -157,11 +162,11 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
     if impl == "pallas":
         from sdr_tpu.kernels.u8_front_pallas import u8_front_pallas
         return u8_front_pallas(taps, factor, raw, num,
-                               precision=precision,
-                               byte_off=byte_off, q_out=int(q_out))
+                               precision=precision, byte_off=byte_off,
+                               q_out=int(q_out or PALLAS_Q_DEFAULT))
     taps = np.asarray(taps, dtype=np.float32)
     K, f = taps.shape[0], int(factor)
-    q_out = int(q_out)
+    q_out = int(q_out or Q_DEFAULT)
     n = (raw.shape[-1] - byte_off) // 2
     if num is None:
         num = (n - K) // f + 1

@@ -113,13 +113,15 @@ class U8FrontEnd(StreamOp):
     """
 
     def __init__(self, taps, factor: int, impl: str = "auto",
-                 precision: str = "s16", q_out: int = 64):
+                 precision: str = "s16", q_out: int | None = None):
         self.taps = np.asarray(taps, dtype=np.float32)
         self.factor = int(factor)
         self.n_taps = self.taps.shape[0]
         self.impl = impl
         self.precision = precision
-        self.q_out = int(q_out)
+        # None = impl-aware default (128 pallas / 64 xla, the measured
+        # optima — ops/quantized.py)
+        self.q_out = None if q_out is None else int(q_out)
         self.extra_block_dims = 1          # the [2] plane axis
 
     def out_len(self, n_in):
