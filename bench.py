@@ -59,11 +59,13 @@ BASELINE_PER_CHIP = 10e9 / 16  # BASELINE.md: >=10 GS/s aggregate on v5e-16
 # the ONE canonical headline configuration (recorded in the JSON line)
 HEADLINE_CONFIG = {
     "formulation": "run_time_batched (vmap block-parallel, one program)",
-    "front": "quantized",     # int8-MXU fused convert+decimate (U8FrontEnd:
-                              # u8-direct split dot, s16 taps, Q=64 — the r3
-                              # formulation A/B winner, bench_front_ab.json)
-    "atan2": "poly",          # planar-demod default (3.1x the exact
-                              # lowering at 5.8e-7 rad, bench_stages r2)
+    "front": "fused",         # ONE Pallas kernel: u8 IQ convert +
+                              # decimate + FM demod (U8FrontDemod, s16
+                              # taps, Q=128 — the r4 sweep winner; the
+                              # intermediate I/Q planes never touch HBM.
+                              # In-chain A/B r4: 4.83 ms vs 5.39 ms for
+                              # front='quantized' + planar demod)
+    "atan2": "poly",          # in-kernel polynomial atan2 (5.8e-7 rad)
     "method": "auto",         # back-half FIR dispatch: the measured table
                               # routes the unit-stride audio FIR to the
                               # Pallas banded kernel (in-chain A/B r3:

@@ -87,8 +87,11 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
     """
     rf, ars, afl = fm_taps()
     if front == "auto":
+        # r4 chain-shape A/B: fused 4.83 ms vs quantized+demod 5.39 ms
+        # per 32x10 MiB (the fused kernel eliminates the intermediate
+        # I/Q planes' HBM round trip)
         from sdr_tpu.utils.device import on_tpu
-        front = "quantized" if on_tpu() else "exact"
+        front = "fused" if on_tpu() else "exact"
     back = [Fir.resampler(ars, 3, 10, method=method),
             Fir.filter(afl, method=method),
             Scale(volume)]

@@ -57,7 +57,10 @@ from sdr_tpu.ops.quantized import u8_front_plan
 __all__ = ["u8_front_pallas"]
 
 LANE = 128
-Q_DEFAULT = 64      # outputs per window row (see module docstring)
+Q_DEFAULT = 128     # outputs per window row — r4 chain-shape sweep:
+                    # 3.28 ms (Q=128) vs 3.55 (64) / 4.21 (256); the
+                    # XLA formulation's optimum stays Q=64
+                    # (ops/quantized.py Q_DEFAULT)
 ROWS = 512          # max output rows per grid step
 
 
