@@ -425,6 +425,8 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32,
 
     rl = chain_roofline(fm_chain(method="conv", front="quantized"),
                         block, batch=nblocks)
+    rl_fused = chain_roofline(fm_chain(method="conv", front="fused"),
+                              block, batch=nblocks)
 
     def iters_for(floor_s: float) -> int:
         return int(min(64, max(8, 0.02 // max(floor_s, 1e-6) + 1)))
@@ -479,6 +481,28 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32,
          lambda i, r: fir_decimate_u8_planar(rf, 8, r + i.astype(jnp.uint8),
                                              n_d, impl="auto"),
          total, (raw,), stage_idx=0)
+    # the r4 headline front: convert + decimate + FM demod in ONE Pallas
+    # kernel (its floor is the fused chain's stage-0 roofline)
+    def _fused_case(i, r):
+        from sdr_tpu.kernels.u8_front_demod_pallas import (
+            u8_front_demod_pallas)
+        return u8_front_demod_pallas(rf, 8, r + i.astype(jnp.uint8),
+                                     None, n_d)
+    if deadline is None or time.time() < deadline:
+        st = rl_fused["stages"][0]
+        try:
+            dt = _time_jit(_fused_case, iters_for(st["floor_s"]),
+                           operands=(raw,))
+            out["front_demod_fused"] = {
+                "sec": dt, "gsps_equiv": total / dt / 1e9,
+                "floor_sec": st["floor_s"],
+                "pct_of_floor": 100.0 * st["floor_s"] / dt,
+                "bound_by": st["bound_by"]}
+        except Exception as e:  # noqa: BLE001
+            print(f"front_demod_fused: {str(e)[:160]}", file=sys.stderr)
+            out["front_demod_fused"] = {"error": str(e)[:200]}
+        with open(dump, "w") as fh:
+            json.dump(out, fh, indent=2)
     case("front_exact_convert",
          lambda i, r: convert.iq_u8_to_planar(r + i.astype(jnp.uint8)),
          total, (raw,))

@@ -135,7 +135,7 @@ def _cost_one(op, n_in: int, in_dtype, in_batch: tuple, batch: int):
     if isinstance(op, (S.U8FrontEnd, S.U8FrontDemod)):
         # dense int8 band: rows x (stride + halo) x 2Q MACs x bands
         from sdr_tpu.kernels.u8_front_pallas import Q_DEFAULT, LANE
-        q = getattr(op, "q_out", Q_DEFAULT)
+        q = getattr(op, "q_out", None) or Q_DEFAULT
         stride = 2 * op.factor * q
         rows = -(-n_out // q)
         bands = 2 if op.precision == "s16" else 1
