@@ -719,13 +719,13 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
     case("filter_r_k128sym_twohalf_pallas",
          lambda i, x: (fir.fir_filter(tsym_h, pr(i, x), nb32 - 128 + 1,
                                       method="pallas")
-                       + fir.fir_filter(tsym_h[::-1].copy(), x,
+                       + fir.fir_filter(tsym_h[::-1].copy(), pr(i, x),
                                         nb32 - 128 + 1, method="pallas",
                                         start=64)), (xb32,))
     case("filter_r_k128sym_twohalf_conv",
          lambda i, x: (fir.fir_filter(tsym_h, pr(i, x), nb32 - 128 + 1,
                                       method="conv")
-                       + fir.fir_filter(tsym_h[::-1].copy(), x,
+                       + fir.fir_filter(tsym_h[::-1].copy(), pr(i, x),
                                         nb32 - 128 + 1, method="conv",
                                         start=64)), (xb32,))
     # dc_blocker LAST and small: its unrolled associative scan has twice

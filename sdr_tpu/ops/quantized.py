@@ -159,14 +159,16 @@ def fir_decimate_u8_planar(taps, factor: int, raw, num: int = None, *,
         n_taps = np.asarray(taps).shape[0]
         fits = byte_off + 2 * (n_taps - 1) + 2 - 2 * factor <= 128
         impl = "pallas" if (on_tpu() and fits) else "xla"
+    if q_out is not None and int(q_out) < 1:
+        raise ValueError(f"q_out must be >= 1, got {q_out}")
     if impl == "pallas":
         from sdr_tpu.kernels.u8_front_pallas import u8_front_pallas
-        return u8_front_pallas(taps, factor, raw, num,
-                               precision=precision, byte_off=byte_off,
-                               q_out=int(q_out or PALLAS_Q_DEFAULT))
+        return u8_front_pallas(
+            taps, factor, raw, num, precision=precision, byte_off=byte_off,
+            q_out=int(q_out) if q_out is not None else PALLAS_Q_DEFAULT)
     taps = np.asarray(taps, dtype=np.float32)
     K, f = taps.shape[0], int(factor)
-    q_out = int(q_out or Q_DEFAULT)
+    q_out = int(q_out) if q_out is not None else Q_DEFAULT
     n = (raw.shape[-1] - byte_off) // 2
     if num is None:
         num = (n - K) // f + 1

@@ -41,8 +41,18 @@ _PRECISION_NAMES = {
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
-_fir_precision = _PRECISION_NAMES[
-    os.environ.get("SDR_TPU_FIR_PRECISION", "highest").lower()]
+
+
+def _precision_from_env() -> jax.lax.Precision:
+    name = os.environ.get("SDR_TPU_FIR_PRECISION", "highest").lower()
+    if name not in _PRECISION_NAMES:
+        raise ValueError(
+            f"SDR_TPU_FIR_PRECISION={name!r}: expected one of "
+            f"{sorted(_PRECISION_NAMES)}")
+    return _PRECISION_NAMES[name]
+
+
+_fir_precision = _precision_from_env()
 
 
 def fir_precision():
@@ -52,11 +62,23 @@ def fir_precision():
 
 def set_fir_precision(name_or_prec):
     """Set the FIR matmul precision ('default' | 'high' | 'highest' or a
-    ``jax.lax.Precision``).  Returns the previous value."""
+    ``jax.lax.Precision``).  Returns the previous value.
+
+    The value is read at TRACE time: it affects functions traced after
+    the call, while already-jit-compiled programs (including the
+    functools.partial-baked Pallas kernels) keep the precision they were
+    traced with — their caches are keyed on argument shapes, not on this
+    global.  Call it before building/jitting a pipeline, or clear caches
+    (``jax.clear_caches()``) to retrace at the new precision."""
     global _fir_precision
     prev = _fir_precision
     if isinstance(name_or_prec, str):
-        _fir_precision = _PRECISION_NAMES[name_or_prec.lower()]
+        name = name_or_prec.lower()
+        if name not in _PRECISION_NAMES:
+            raise ValueError(
+                f"set_fir_precision({name_or_prec!r}): expected one of "
+                f"{sorted(_PRECISION_NAMES)}")
+        _fir_precision = _PRECISION_NAMES[name]
     else:
         _fir_precision = name_or_prec
     return prev
