@@ -21,13 +21,15 @@ is deadline-gated):
    so the persistent cache absorbs the tunnel's 1-10 min remote compiles
    BEFORE any timed run (a cold timing subprocess used to blow its own
    timeout on compiles alone).
-1. headline — the CANONICAL configuration; the JSON line is printed as
-   soon as the FIRST run lands.  A second run (stability check) and the
-   method='auto' variant follow only if budget remains.
-2. per-stage breakdown of the chain (bench_stages.json) — the roofline
-   input for docs/DESIGN.md.
-3. kernel variant matrix (bench_kernels.json) — the Criterion analog
-   (benchmarks/Benchmarks.hs:79-156), incremental dump, deadline-aware.
+1. headline — the CANONICAL configuration, ONE window; the JSON line
+   prints as soon as it lands.
+2. judged configs (#3 waterfall, #4 AM, #5 channelizer) — immediately
+   after the headline, hard per-section caps (r4 never reached them).
+3. per-stage breakdown (bench_stages.json) — per-case subprocesses.
+4. kernel variant matrix (bench_kernels.json) — the Criterion analog
+   (benchmarks/Benchmarks.hs:79-156), per-case subprocesses.
+5. comparison rows (second headline window, alt dispatch, sequential
+   stream) only with leftover budget.
 
 Everything lands in bench_details.json (seeded from the committed file,
 so a deadline-trimmed run refreshes what it measured and keeps the rest);
@@ -408,7 +410,8 @@ def _time_jit(fn, iters=10, operands=(), runs=4, chained=False):
 
 
 def bench_stages(block: int = 10_485_760, nblocks: int = 32,
-                 dump: str = "bench_stages.json", deadline: float = None):
+                 dump: str = "bench_stages.json", deadline: float = None,
+                 only: str = None, collect: bool = False):
     """Per-stage cost of the batched FM chain at its REAL in-pipeline
     shapes (the roofline input: VERDICT r1 weak #5).  Rates are complex
     input samples/sec equivalents so stages are directly comparable to the
@@ -416,7 +419,12 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32,
 
     Iteration counts are set per stage from the stage's static hardware
     floor (utils/roofline.py) so cheap stages get enough in-program
-    repetitions for the calibrated difference in _time_jit to resolve."""
+    repetitions for the calibrated difference in _time_jit to resolve.
+
+    ``only``/``collect``: per-case subprocess isolation hooks (same
+    contract as bench_kernels) — the r4 driver lost this whole section
+    to one 492 s in-process timeout; each case now runs in its own
+    subprocess via bench_stages_robust."""
     from sdr_tpu.apps.chains import fm_taps, fm_chain
     from sdr_tpu.ops import fir, demod
     from sdr_tpu.ops.quantized import fir_decimate_u8_planar
@@ -436,36 +444,67 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32,
     n_c = block // 2                  # complex samples per block
     n_d = n_c // 8                    # after decimate-by-8
     n_r = n_d * 3 // 10               # after 3/10 resample
-    raw = jnp.asarray(rng.integers(0, 256, (nblocks, block), dtype=np.uint8))
-    xc = jnp.asarray(rng.uniform(-1, 1, (nblocks, 2, n_c + 64)
-                                 ).astype(np.float32))
-    xp = jnp.asarray(rng.uniform(-1, 1, (nblocks, 2, n_d + 64)
-                                 ).astype(np.float32))
-    xd = jnp.asarray(rng.uniform(-1, 1, (nblocks, n_d + 64)
-                                 ).astype(np.float32))
-    xr = jnp.asarray(rng.uniform(-1, 1, (nblocks, n_r + 64)
-                                 ).astype(np.float32))
+    names = []
+    # operands built LAZILY (cached): a per-case subprocess (the robust
+    # path) must only pay the host->device transfer its own case needs
+    _cache = {}
+
+    def _lazy(key, build):
+        if key not in _cache:
+            _cache[key] = build()
+        return _cache[key]
+
+    def raw():
+        return _lazy("raw", lambda: jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, 256, (nblocks, block), dtype=np.uint8)))
+
+    def xc():
+        return _lazy("xc", lambda: jnp.asarray(
+            np.random.default_rng(1).uniform(
+                -1, 1, (nblocks, 2, n_c + 64)).astype(np.float32)))
+
+    def xp():
+        return _lazy("xp", lambda: jnp.asarray(
+            np.random.default_rng(1).uniform(
+                -1, 1, (nblocks, 2, n_d + 64)).astype(np.float32)))
+
+    def xd():
+        return _lazy("xd", lambda: jnp.asarray(
+            np.random.default_rng(1).uniform(
+                -1, 1, (nblocks, n_d + 64)).astype(np.float32)))
+
+    def xr():
+        return _lazy("xr", lambda: jnp.asarray(
+            np.random.default_rng(1).uniform(
+                -1, 1, (nblocks, n_r + 64)).astype(np.float32)))
 
     out = {}
-    try:
-        # seed from the committed artifact: a timeout mid-run must not
-        # clobber previously recorded rows (each case overwrites its own)
-        with open(dump) as fh:
-            out.update(json.load(fh))
-    except (OSError, ValueError):
-        pass
+    if not collect:
+        try:
+            # seed from the committed artifact: a timeout mid-run must not
+            # clobber previously recorded rows (each overwrites its own)
+            with open(dump) as fh:
+                out.update(json.load(fh))
+        except (OSError, ValueError):
+            pass
 
-    def case(name, fn, in_complex_samples, operands, stage_idx=None,
-             iters=None):
+    def case(name, make_fn, in_complex_samples, make_operands,
+             stage=None, iters=None):
+        names.append(name)
+        if collect or (only is not None and name != only):
+            return
         if deadline is not None and time.time() > deadline:
             print(f"bench_stages: deadline before {name}", file=sys.stderr)
             return
-        stage = rl["stages"][stage_idx] if stage_idx is not None else None
         fl = stage["floor_s"] if stage else 0.02
         try:
-            dt = _time_jit(fn, iters or iters_for(fl), operands=operands)
+            with _case_alarm(name):
+                dt = _time_jit(make_fn(), iters or iters_for(fl),
+                               operands=make_operands())
             out[name] = {"sec": dt,
-                         "gsps_equiv": in_complex_samples / dt / 1e9}
+                         "gsps_equiv": in_complex_samples / dt / 1e9,
+                         "round": "r5"}
             if stage:
                 out[name]["floor_sec"] = fl
                 out[name]["pct_of_floor"] = 100.0 * fl / dt
@@ -478,78 +517,102 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32,
 
     total = nblocks * n_c
     case("front_int8_fused",
-         lambda i, r: fir_decimate_u8_planar(rf, 8, r + i.astype(jnp.uint8),
-                                             n_d, impl="auto"),
-         total, (raw,), stage_idx=0)
+         lambda: lambda i, r: fir_decimate_u8_planar(
+             rf, 8, r + i.astype(jnp.uint8), n_d, impl="auto"),
+         total, lambda: (raw(),), stage=rl["stages"][0])
     # the r4 headline front: convert + decimate + FM demod in ONE Pallas
     # kernel (its floor is the fused chain's stage-0 roofline)
+
     def _fused_case(i, r):
         from sdr_tpu.kernels.u8_front_demod_pallas import (
             u8_front_demod_pallas)
         return u8_front_demod_pallas(rf, 8, r + i.astype(jnp.uint8),
                                      None, n_d)
-    if deadline is None or time.time() < deadline:
-        st = rl_fused["stages"][0]
-        try:
-            dt = _time_jit(_fused_case, iters_for(st["floor_s"]),
-                           operands=(raw,))
-            out["front_demod_fused"] = {
-                "sec": dt, "gsps_equiv": total / dt / 1e9,
-                "floor_sec": st["floor_s"],
-                "pct_of_floor": 100.0 * st["floor_s"] / dt,
-                "bound_by": st["bound_by"]}
-        except Exception as e:  # noqa: BLE001
-            print(f"front_demod_fused: {str(e)[:160]}", file=sys.stderr)
-            out["front_demod_fused"] = {"error": str(e)[:200]}
-        with open(dump, "w") as fh:
-            json.dump(out, fh, indent=2)
+
+    case("front_demod_fused", lambda: _fused_case, total, lambda: (raw(),),
+         stage=rl_fused["stages"][0])
     case("front_exact_convert",
-         lambda i, r: convert.iq_u8_to_planar(r + i.astype(jnp.uint8)),
-         total, (raw,))
+         lambda: lambda i, r: convert.iq_u8_to_planar(
+             r + i.astype(jnp.uint8)),
+         total, lambda: (raw(),))
     case("front_exact_decim_conv",
-         lambda i, x: fir.fir_decimate(rf, 8,
-                                       x + i.astype(jnp.float32) * 1e-30,
-                                       (n_c + 64 - 51) // 8 + 1,
-                                       method="conv"), total, (xc,))
+         lambda: lambda i, x: fir.fir_decimate(
+             rf, 8, x + i.astype(jnp.float32) * 1e-30,
+             (n_c + 64 - 51) // 8 + 1, method="conv"), total,
+         lambda: (xc(),))
     case("demod_planar",
-         lambda i, x: demod.fm_demod_planar(
+         lambda: lambda i, x: demod.fm_demod_planar(
              x + i.astype(jnp.float32) * 1e-30,
-             jnp.zeros((nblocks, 2), jnp.float32))[0], total, (xp,),
-         stage_idx=1)
+             jnp.zeros((nblocks, 2), jnp.float32))[0], total,
+         lambda: (xp(),), stage=rl["stages"][1])
     case("demod_planar_poly",
-         lambda i, x: demod.fm_demod_planar(
+         lambda: lambda i, x: demod.fm_demod_planar(
              x + i.astype(jnp.float32) * 1e-30,
              jnp.zeros((nblocks, 2), jnp.float32), atan2="poly")[0],
-         total, (xp,), stage_idx=1)
+         total, (lambda: (xp(),)), stage=rl["stages"][1])
     case("resample_3_10_k31",
-         lambda i, x: fir.fir_resample(ars, 3, 10,
-                                       x + i.astype(jnp.float32) * 1e-30,
-                                       0, (n_d + 64) * 3 // 10,
-                                       method="conv")[0], total, (xd,),
-         stage_idx=2)
+         lambda: lambda i, x: fir.fir_resample(
+             ars, 3, 10, x + i.astype(jnp.float32) * 1e-30, 0,
+             (n_d + 64) * 3 // 10, method="conv")[0], total,
+         lambda: (xd(),), stage=rl["stages"][2])
     case("resample_3_10_k31_band",
-         lambda i, x: fir.fir_resample(ars, 3, 10,
-                                       x + i.astype(jnp.float32) * 1e-30,
-                                       0, (n_d + 64) * 3 // 10,
-                                       method="band")[0], total, (xd,),
-         stage_idx=2)
+         lambda: lambda i, x: fir.fir_resample(
+             ars, 3, 10, x + i.astype(jnp.float32) * 1e-30, 0,
+             (n_d + 64) * 3 // 10, method="band")[0], total,
+         lambda: (xd(),), stage=rl["stages"][2])
     case("audio_fir_k64",
-         lambda i, x: fir.fir_filter(afl, x + i.astype(jnp.float32) * 1e-30,
-                                     n_r, method="conv"), total, (xr,),
-         stage_idx=3)
+         lambda: lambda i, x: fir.fir_filter(
+             afl, x + i.astype(jnp.float32) * 1e-30, n_r, method="conv"),
+         total, lambda: (xr(),), stage=rl["stages"][3])
     # the dispatched (auto) audio path: the Pallas banded kernel — fast
     # enough that the calibrated difference needs many in-program reps
     case("audio_fir_k64_pallas",
-         lambda i, x: fir.fir_filter(afl, x + i.astype(jnp.float32) * 1e-30,
-                                     n_r, method="pallas"), total, (xr,),
-         stage_idx=3, iters=128)
+         lambda: lambda i, x: fir.fir_filter(
+             afl, x + i.astype(jnp.float32) * 1e-30, n_r,
+             method="pallas"),
+         total, lambda: (xr(),), stage=rl["stages"][3], iters=128)
 
+    if collect:
+        return names
     # the full chain roofline rides along so every recorded stage can be
     # read against its hardware floor
     out["roofline"] = rl
     with open(dump, "w") as fh:
         json.dump(out, fh, indent=2)
     return out
+
+
+def bench_stages_robust(dump: str = "bench_stages.json",
+                        deadline: float = None, per_case_s: float = 600.0):
+    """Run every stage case in its OWN subprocess with a parent-enforced
+    timeout (the bench_kernels_robust pattern) — the r4 run lost the
+    entire stage section to a single in-process 492 s timeout."""
+    import subprocess
+    names = bench_stages(collect=True)
+    for name in names:
+        remaining = None if deadline is None else deadline - time.time()
+        if remaining is not None and remaining < 120:
+            print(f"bench_stages_robust: budget before {name}",
+                  file=sys.stderr)
+            break
+        budget = per_case_s if remaining is None \
+            else min(per_case_s, remaining)
+        code = (f"import bench; bench.bench_stages(dump={dump!r}, "
+                f"only={name!r})")
+        try:
+            _, _, err = _run_child([sys.executable, "-c", code],
+                                   timeout=budget)
+            if err:
+                sys.stderr.write(err[-400:])
+        except subprocess.TimeoutExpired:
+            print(f"{name}: killed after {budget:.0f}s (hung compile)",
+                  file=sys.stderr)
+            time.sleep(120)  # tunnel recovery window after a kill
+    try:
+        with open(dump) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
 
 
 def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
@@ -897,7 +960,7 @@ def main():
             f"{cfg['method']!r}, {cfg['front']!r}, {cfg['block_u8']}, "
             f"{cfg['nblocks']}); print(json.dumps({{'rate': r, 'runs': ts}}))")
     first = _subproc(code, "headline_run1",
-                     timeout=max(60.0, _remaining() - 90))
+                     timeout=min(480.0, max(60.0, _remaining() - 90)))
     if first is None:
         _print_headline(0.0, cfg, "headline run failed inside budget; "
                         "see stderr")
@@ -910,17 +973,60 @@ def main():
                     "run 1 of up to 2; see bench_details.json")
     _save_details(results)
 
-    # the shared/tunneled device is BIMODAL across minutes (same cached
-    # executable measured 45% apart in different windows, stable +-3%
-    # within one) — a second window is recorded for the spread when
-    # budget allows.
+    # 2. the OTHER judged configs (BASELINE #3 waterfall, #4 AM,
+    #    #5 channelizer) run IMMEDIATELY after the first headline window
+    #    — r4 burned its whole budget re-proving the headline and never
+    #    reached these (VERDICT r4 #1); they are the judged surface, so
+    #    they come before every comparison row.  Each gets a hard
+    #    per-section cap so no one section can starve the rest.
+    for tag, key, code in (
+        ("waterfall_1024", "waterfall_1024_hop512",
+         "import json, bench; print(json.dumps(bench.bench_waterfall()))"),
+        ("am_chain", "am_chain_batched",
+         "import json, bench; print(json.dumps(bench.bench_am()))"),
+        ("channelizer_64ch", "channelizer_64ch_wideband",
+         "import json, bench; print(json.dumps(bench.bench_channelizer()))"),
+    ):
+        if _remaining() <= 180:
+            print(f"bench: budget before {tag}", file=sys.stderr)
+            break
+        val = _subproc(code, tag, timeout=min(420.0, _remaining() - 60),
+                       attempts=1)
+        if val is not None:
+            results[key] = val
+            results["sections_run"].append(tag)
+            _save_details(results)
+
+    # 3. per-stage breakdown (roofline input) — one subprocess PER CASE
+    #    with a parent-enforced timeout; the r4 run lost this whole
+    #    section to a single 492 s in-process timeout.
+    deadline = _T0 + _BUDGET - 60
+    stage_deadline = min(deadline, time.time() + 600)
+    if _remaining() > 180:
+        bench_stages_robust("bench_stages.json", deadline=stage_deadline,
+                            per_case_s=300.0)
+        results["sections_run"].append("stages")
+        results["stages"] = "see bench_stages.json (incremental)"
+        _save_details(results)
+
+    # 4. kernel matrix — one subprocess PER CASE (hung remote compiles
+    #    are uninterruptible in-process); the dump file accumulates rows
+    #    incrementally and is NOT merged here
+    if _remaining() > 180:
+        ran = bench_kernels_robust("bench_kernels.json", deadline=deadline)
+        if ran:
+            results["sections_run"].append("kernels")
+
+    # 5. comparison rows, only with leftover budget: a second headline
+    #    window (bimodality spread), the other dispatch variant, and the
+    #    sequential-stream formulation.
     code2 = ("import json, bench; r, ts = bench.bench_chain_batched("
              f"{cfg['method']!r}, {cfg['front']!r}, {cfg['block_u8']}, "
              f"{cfg['nblocks']}, sample_s=120.0); "
              "print(json.dumps({'rate': r, 'runs': ts}))")
     if _remaining() > 360:
         second = _subproc(code2, "headline_run2",
-                          timeout=_remaining() - 60, attempts=1)
+                          timeout=min(300.0, _remaining() - 60), attempts=1)
         if second is not None:
             results["fm_chain_batched_run2"] = second["rate"]
             results["fm_chain_batched_run2_runs"] = second["runs"]
@@ -935,71 +1041,27 @@ def main():
                   file=sys.stderr)
             _save_details(results)
 
-    # 1b. the OTHER dispatch variant of the same chain ('auto' headline
-    #     -> record 'conv' and vice versa), a shorter window — it is a
-    #     comparison row, not the capability claim
     alt = "conv" if cfg["method"] == "auto" else "auto"
-    if _remaining() > 360:
+    if _remaining() > 300:
         other = _subproc(
             ("import json, bench; r, ts = bench.bench_chain_batched("
              f"{alt!r}, {cfg['front']!r}, {cfg['block_u8']}, "
              f"{cfg['nblocks']}, sample_s=90.0); "
              "print(json.dumps({'rate': r, 'runs': ts}))"),
-            f"headline_{alt}", timeout=_remaining() - 60, attempts=1)
+            f"headline_{alt}", timeout=min(240.0, _remaining() - 60),
+            attempts=1)
         if other is not None:
             results[f"fm_chain_batched_{alt}"] = other["rate"]
             results[f"fm_chain_batched_{alt}_runs"] = other["runs"]
             results["sections_run"].append(f"chain_{alt}")
             _save_details(results)
 
-    # 2. per-stage breakdown (roofline input)
-    deadline = _T0 + _BUDGET - 60
-    if _remaining() > 300:
-        stages = _subproc(
-            "import json, time, bench; "
-            f"print(json.dumps(bench.bench_stages(deadline={deadline!r})))",
-            "stages", timeout=_remaining() - 60, attempts=1)
-        if stages is not None:
-            results["stages"] = stages
-            results["sections_run"].append("stages")
-            _save_details(results)
-
-    # 3. the OTHER judged configs (BASELINE #3 waterfall, #4 AM,
-    #    #5 channelizer) — BEFORE the kernel matrix so a tight budget
-    #    trims tap-sweep rows, never a judged config (VERDICT r3 #2)
-    for tag, key, code in (
-        ("waterfall_1024", "waterfall_1024_hop512",
-         "import json, bench; print(json.dumps(bench.bench_waterfall()))"),
-        ("am_chain", "am_chain_batched",
-         "import json, bench; print(json.dumps(bench.bench_am()))"),
-        ("channelizer_64ch", "channelizer_64ch_wideband",
-         "import json, bench; print(json.dumps(bench.bench_channelizer()))"),
-    ):
-        if _remaining() <= 300:
-            print(f"bench: budget before {tag}", file=sys.stderr)
-            break
-        val = _subproc(code, tag, timeout=min(900.0, _remaining() - 60),
-                       attempts=1)
-        if val is not None:
-            results[key] = val
-            results["sections_run"].append(tag)
-            _save_details(results)
-
-    # 4. kernel matrix — one subprocess PER CASE with a parent-enforced
-    #    timeout (hung remote compiles are uninterruptible in-process);
-    #    the dump file (the canonical matrix artifact) accumulates rows
-    #    incrementally and is NOT merged here
-    if _remaining() > 180:
-        ran = bench_kernels_robust("bench_kernels.json", deadline=deadline)
-        if ran:
-            results["sections_run"].append("kernels")
-
-    # 5. secondary formulations (recorded, not the headline)
-    if _remaining() > 300:
+    if _remaining() > 240:
         stream = _subproc(
             "import json, bench; "
             "print(json.dumps(bench.bench_chain_stream()))",
-            "fm_chain_stream", timeout=_remaining() - 60, attempts=1)
+            "fm_chain_stream", timeout=min(240.0, _remaining() - 60),
+            attempts=1)
         if stream is not None:
             results["fm_chain_stream"] = stream
             results["sections_run"].append("stream")

@@ -90,11 +90,13 @@ def main():
 
     a8 = jnp.asarray(rng.integers(-127, 127, (m, m), dtype=np.int8))
     b8 = jnp.asarray(rng.integers(-127, 127, (m, m), dtype=np.int8))
+    # perturbation must be NONZERO or XLA CSEs every iteration into one
+    # matmul (wrap-around on +1 is harmless for timing)
     out["mxu_int8_ops"] = measure(
         "mxu int8",
-        lambda i, x, y: jnp.dot((x + i.astype(jnp.int8) * 0), y,
+        lambda i, x, y: jnp.dot((x + i.astype(jnp.int8)), y,
                                 preferred_element_type=jnp.int32),
-        flops, (a8, b8), iters=8)
+        flops, (a8, b8), iters=16)
 
     print(json.dumps(out))
     return 0
