@@ -40,7 +40,8 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
              atan2: str = "poly",
              stereo: bool = False, fs_in: float = 1_280_000.0,
              deemphasis: float | None = None,
-             deemphasis_mode: str = "iir"):
+             deemphasis_mode: str = "iir",
+             fuse_back: bool | str = "auto"):
     """Broadcast FM receiver ops (config #1; examples/fm/fm.hs:32-41):
     u8 IQ -> decimate 8 -> FM demod -> 3/10 resample -> audio FIR -> volume.
 
@@ -92,21 +93,41 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
         # I/Q planes' HBM round trip)
         from sdr_tpu.utils.device import on_tpu
         front = "fused" if on_tpu() else "exact"
-    back = [Fir.resampler(ars, 3, 10, method=method),
-            Fir.filter(afl, method=method),
-            Scale(volume)]
+    if fuse_back == "auto":
+        # fuse the tail only when the dispatched path would be the
+        # Pallas band kernels anyway (method='auto' on TPU); CPU keeps
+        # the unfused stages (interpret-mode Pallas is a correctness
+        # path, opted into explicitly by tests)
+        from sdr_tpu.utils.device import on_tpu
+        fuse_back = on_tpu() and method == "auto"
+    if fuse_back:
+        # resample + audio FIR + volume as ONE Pallas kernel — the
+        # resampled intermediate never touches HBM (ResampleFirScale;
+        # identical samples to the three-op tail from output Kf-1 on,
+        # see its docstring)
+        from sdr_tpu.stream import ResampleFirScale
+        if deemphasis is not None:
+            back = [ResampleFirScale(ars, 3, 10, afl, 1.0),
+                    Scale(volume)]   # Iir inserted between, below
+        else:
+            back = [ResampleFirScale(ars, 3, 10, afl, volume)]
+    else:
+        back = [Fir.resampler(ars, 3, 10, method=method),
+                Fir.filter(afl, method=method),
+                Scale(volume)]
     if deemphasis is not None:
         from sdr_tpu.ops.iir import biquad, deemphasis_taps
         audio_fs = fs_in / 8 * 3 / 10
         b, a = deemphasis_taps(audio_fs, deemphasis)
+        pos = len(back) - 1          # just before the final Scale
         if deemphasis_mode == "iir":
             from sdr_tpu.stream import Iir
-            back.insert(2, Iir(np.concatenate([b, a])))
+            back.insert(pos, Iir(np.concatenate([b, a])))
         elif deemphasis_mode == "fir":
             impulse = np.zeros(64, dtype=np.float32)
             impulse[0] = 1.0
             h = np.asarray(biquad(b, a, impulse), dtype=np.float32)
-            back.insert(2, Fir.filter(h, method=method))
+            back.insert(pos, Fir.filter(h, method=method))
         else:
             raise ValueError(f"unknown deemphasis_mode {deemphasis_mode!r}")
     if stereo:
@@ -114,7 +135,8 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
         back = [StereoDecode(fs=fs_in / 8), *back]
     if front == "fused":
         from sdr_tpu.stream import U8FrontDemod
-        return [U8FrontDemod(rf, 8, precision=front_precision), *back]
+        return [U8FrontDemod(rf, 8, precision=front_precision,
+                             q_out=front_q_out), *back]
     if front == "quantized":
         from sdr_tpu.stream import U8FrontEnd
         return [U8FrontEnd(rf, 8, precision=front_precision,

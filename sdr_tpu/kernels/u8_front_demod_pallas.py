@@ -71,13 +71,9 @@ def _shift_back_one(v, first_row, row0, col0):
 
 
 def _demod_kernel(scale: float, two_band: bool, q_out: int, tile: int,
-                  xm_ref, xh_ref, *refs):
-    if two_band:
-        bhi_ref, blo_ref, carry_ref, o_ref, si_ref, sq_ref = refs
-    else:
-        bhi_ref, carry_ref, o_ref, si_ref, sq_ref = refs
-        blo_ref = None
-    y = (band_acc(xm_ref, xh_ref, bhi_ref, blo_ref)
+                  xm_ref, xh_ref, b_ref, carry_ref, o_ref, si_ref,
+                  sq_ref):
+    y = (band_acc(xm_ref, xh_ref, b_ref, two_band)
          .astype(jnp.float32) * jnp.float32(scale))
     i, q = y[:, :q_out], y[:, q_out:]
 

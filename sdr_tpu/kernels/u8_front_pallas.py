@@ -107,48 +107,40 @@ def build_views(raw, stride: int, rows: int, aligned: bool):
 
 
 def build_bands(Bhi, Blo, stride: int):
-    """Band matrices zero-padded to a 128-row halo block, plus their
+    """ONE combined band matrix ``[stride + 128, n_cols]`` (hi|lo side
+    by side for s16 — a single wide dot measured well over the split
+    two-dot form: the r5 shape probe put the same-geometry s8 matmul at
+    366 Top/s in one [.., 2176] x [2176, 512] dot while the split-dot
+    kernel ran at ~100), zero-padded to a 128-row halo block, plus its
     (resident) BlockSpec."""
     W, n_cols = Bhi.shape
-    Bp = np.zeros((stride + LANE, n_cols), dtype=np.int8)
-    Bh = Bp.copy()
-    Bh[:W] = Bhi
-    bands = [jnp.asarray(Bh)]
-    if Blo is not None:
-        Bl = Bp.copy()
-        Bl[:W] = Blo
-        bands.append(jnp.asarray(Bl))
-    spec = pl.BlockSpec((stride + LANE, n_cols), lambda p: (0, 0),
+    B = Bhi if Blo is None else np.concatenate([Bhi, Blo], axis=1)
+    Bp = np.zeros((stride + LANE, B.shape[1]), dtype=np.int8)
+    Bp[:W] = B
+    spec = pl.BlockSpec((stride + LANE, B.shape[1]), lambda p: (0, 0),
                         memory_space=pltpu.VMEM)
-    return bands, spec
+    return [jnp.asarray(Bp)], spec
 
 
-def band_acc(xm_ref, xh_ref, bhi_ref, blo_ref):
+def band_acc(xm_ref, xh_ref, b_ref, two_band: bool):
     """The shared front-end integer algebra: s32 accumulator of the
-    16-bit (hi/lo) or 8-bit (hi only) quantized correlation."""
+    16-bit (hi|lo combined band) or 8-bit quantized correlation."""
     stride = xm_ref.shape[1]
     xm = pltpu.bitcast(xm_ref[:] ^ jnp.uint8(0x80), jnp.int8)
     xh = pltpu.bitcast(xh_ref[:] ^ jnp.uint8(0x80), jnp.int8)
-    acc = (jnp.dot(xm, bhi_ref[:stride, :],
+    acc = (jnp.dot(xm, b_ref[:stride, :],
                    preferred_element_type=jnp.int32)
-           + jnp.dot(xh, bhi_ref[stride:, :],
+           + jnp.dot(xh, b_ref[stride:, :],
                      preferred_element_type=jnp.int32))
-    if blo_ref is not None:
-        lo = (jnp.dot(xm, blo_ref[:stride, :],
-                      preferred_element_type=jnp.int32)
-              + jnp.dot(xh, blo_ref[stride:, :],
-                        preferred_element_type=jnp.int32))
-        acc = acc * 256 + lo
+    if two_band:
+        h = acc.shape[-1] // 2
+        acc = acc[:, :h] * 256 + acc[:, h:]
     return acc
 
 
 def _kernel(scale: float, two_band: bool, q_out: int, xm_ref, xh_ref,
-            *refs):
-    if two_band:
-        bhi_ref, blo_ref, oi_ref, oq_ref = refs
-    else:
-        (bhi_ref, oi_ref, oq_ref), blo_ref = refs, None
-    y = (band_acc(xm_ref, xh_ref, bhi_ref, blo_ref)
+            b_ref, oi_ref, oq_ref):
+    y = (band_acc(xm_ref, xh_ref, b_ref, two_band)
          .astype(jnp.float32) * jnp.float32(scale))
     oi_ref[:] = y[:, :q_out]
     oq_ref[:] = y[:, q_out:]

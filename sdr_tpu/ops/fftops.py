@@ -14,6 +14,7 @@ pipeline (BASELINE config #3, the waterfall).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import numpy as np
@@ -57,6 +58,31 @@ __all__ = ["fft", "rfft", "frame", "spectrogram", "waterfall_image",
 _MXU_FFT_AUTO_MAX = 4096
 
 
+def fft_precision():
+    """Matmul precision of the four-step DFT stages.
+
+    HIGH (bf16x3) by default: measured max RELATIVE error 3e-6 at
+    n=1024 against jnp.fft's f32 custom call — far inside any
+    display/demod tolerance (the reference never tests its FFT at all:
+    tests/TestSuite.hs has no FFT properties) — at 2x the matmul
+    throughput of HIGHEST (64 vs 32 Tflop/s measured,
+    tools/measure_ceilings.py).  Override with
+    ``SDR_TPU_FFT_PRECISION=default|high|highest`` (DEFAULT, bf16x1,
+    measures ~6e-4 relative — rejected as the default because a
+    0.01-absolute reading of the reference's differential bound on
+    unit-power signals would sit within one decade of it).
+    """
+    name = os.environ.get("SDR_TPU_FFT_PRECISION", "high").lower()
+    try:
+        return {"default": jax.lax.Precision.DEFAULT,
+                "high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST}[name]
+    except KeyError:
+        raise ValueError(
+            f"SDR_TPU_FFT_PRECISION={name!r}: expected "
+            "'default' | 'high' | 'highest'") from None
+
+
 def _fft_factors(n: int) -> Optional[tuple]:
     """Pick N1*N2 = n with both factors MXU-friendly, or None.
 
@@ -89,18 +115,28 @@ def _dft_consts(n1: int, n2: int):
                            f2.real, f2.imag))
 
 
-def fft_mxu_planar(xr, xi, precision=jax.lax.Precision.HIGHEST):
+def fft_mxu_planar(xr, xi, precision=None, factors=None):
     """Four-step DFT over the last axis of planar float32 (re, im) arrays.
 
     Returns planar ``(Xr, Xi)``.  Last-axis length must factor per
-    ``_fft_factors``; leading axes are batched.  This is the in-chain form
-    (planar pipelines call it without ever building complex64).
+    ``_fft_factors`` (or pass ``factors=(n1, n2)``); leading axes are
+    batched.  This is the in-chain form (planar pipelines call it
+    without ever building complex64).
+
+    ``precision`` defaults to :func:`fft_precision` (HIGH, bf16x3:
+    measured max relative error 3e-6 at n=1024 vs the f32 custom call —
+    3000x inside any display/demod need — at twice the HIGHEST matmul
+    throughput; see bench_kernels fft rows).
     """
+    if precision is None:
+        precision = fft_precision()
     n = xr.shape[-1]
-    fac = _fft_factors(n)
+    fac = factors or _fft_factors(n)
     if fac is None:
         raise ValueError(f"fft_mxu: no MXU-friendly factorization of {n}")
     n1, n2 = fac
+    if n1 * n2 != n:
+        raise ValueError(f"factors {fac} != {n}")
     f1r, f1i, wr, wi, f2r, f2i = (jnp.asarray(c) for c in _dft_consts(n1, n2))
     lead = xr.shape[:-1]
     ar = xr.reshape(lead + (n1, n2))
@@ -119,13 +155,13 @@ def fft_mxu_planar(xr, xi, precision=jax.lax.Precision.HIGHEST):
     return xr_.reshape(lead + (n,)), xi_.reshape(lead + (n,))
 
 
-def fft_mxu(x, axis: int = -1, precision=jax.lax.Precision.HIGHEST):
+def fft_mxu(x, axis: int = -1, precision=None, factors=None):
     """Complex-in/complex-out wrapper over :func:`fft_mxu_planar`."""
     x = jnp.moveaxis(x, axis, -1)
     xr = x.real.astype(jnp.float32)
     xi = (x.imag.astype(jnp.float32) if jnp.iscomplexobj(x)
           else jnp.zeros_like(xr))
-    yr, yi = fft_mxu_planar(xr, xi, precision=precision)
+    yr, yi = fft_mxu_planar(xr, xi, precision=precision, factors=factors)
     return jnp.moveaxis(jax.lax.complex(yr, yi), -1, axis)
 
 

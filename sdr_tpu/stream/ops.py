@@ -35,7 +35,8 @@ from sdr_tpu.ops import channelize as chanz
 from sdr_tpu.stream.block import StreamOp
 
 __all__ = [
-    "IqConvertU8", "IqConvertI16", "U8FrontEnd", "Fir", "FmDemod",
+    "IqConvertU8", "IqConvertI16", "U8FrontEnd", "Fir",
+    "ResampleFirScale", "FmDemod",
     "AmDemod", "Agc",
     "DcBlocker", "Scale", "Mix", "Map", "FftStream", "Channelize",
     "FmMod", "Iir", "StereoDecode",
@@ -206,12 +207,15 @@ class U8FrontDemod(StreamOp):
     """
 
     def __init__(self, taps, factor: int, precision: str = "s16",
-                 impl: str = "auto"):
+                 impl: str = "auto", q_out: int | None = None):
         self.taps = np.asarray(taps, dtype=np.float32)
         self.factor = int(factor)
         self.n_taps = self.taps.shape[0]
         self.precision = precision
         self.impl = impl
+        # None = kernel default (the measured chain-shape optimum,
+        # kernels/u8_front_pallas.py Q_DEFAULT)
+        self.q_out = None if q_out is None else int(q_out)
 
     out_dtype = U8FrontEnd.out_dtype
     out_len = U8FrontEnd.out_len
@@ -266,9 +270,10 @@ class U8FrontDemod(StreamOp):
         iq_b = fir_decimate_u8_planar(self.taps, self.factor, xb, mb,
                                       precision=self.precision)
         yb, last_b = fm_demod_planar(iq_b, liq, atan2="poly")
+        kw = {} if self.q_out is None else {"q_out": self.q_out}
         ym = u8_front_demod_pallas(self.taps, self.factor, x, last_b,
                                    n_out - mb, precision=self.precision,
-                                   byte_off=off)
+                                   byte_off=off, **kw)
         # next-block carry: final decimated sample, recomputed from the
         # final 2K raw bytes with the same integer plan (bit-exact)
         liq_new = fir_decimate_u8_planar(
@@ -432,6 +437,142 @@ class Fir(StreamOp):
             return new_hist, jnp.concatenate([yb, ym], axis=-1)
         xext = jnp.concatenate([carry, x], axis=-1)
         y = self._run(xext, n_out, self.offset)
+        new_hist = xext[..., xext.shape[-1] - H:] if H else carry
+        return new_hist, y
+
+    def shard_carry(self, x, axis_name, initial=None):
+        from sdr_tpu.parallel.halo import left_halo, substitute_first
+        h = left_halo(x, self.hist_len(x.shape[-1]), axis_name)
+        return substitute_first(h, initial, axis_name)
+
+
+class ResampleFirScale(StreamOp):
+    """Fused back half: rational resample -> FIR -> gain as ONE Pallas
+    kernel (kernels/backhalf_pallas.py) — block-for-block identical
+    output to the three-op tail ``[Fir.resampler(taps_r, I, D),
+    Fir.filter(taps_f), Scale(gain)]`` (reference resample.c ->
+    filter.c -> scale.c as separate pipes), with the resampled
+    intermediate living only in VMEM.
+
+    Alignment derivation: the unfused audio FIR lags its input by
+    ``Kf - 1`` resampler outputs (its overlap-save history), so the
+    fused op's output m at block b is
+
+        y[bM + m] = gain * sum_j taps_f[j] * YR[bM + m - (Kf-1) + j]
+
+    Substituting the resampler's closed form and rebasing onto
+    ``xext = concat(hist, x)`` shifts the phase by ``(Kf-1)*D``:
+    with ``off_u = offset + (Kf-1)*D``, ``offset_k = off_u mod I`` and
+    ``q = off_u // I``, the fused output is exactly
+    ``resample_fir_gain(..., xext, offset_k, M)`` over a history of
+    ``H1 + q`` input samples (H1 = the resampler's own history) — the
+    affine phase recurrence (ops/fir.py t_m = m*D - o) makes the rebase
+    exact, so the carry stays a single contiguous input slice and the
+    time-shard halo is one ppermute, same as Fir.
+    """
+
+    def __init__(self, taps_r, interpolation: int, decimation: int,
+                 taps_f, gain: float = 1.0, offset: int = 0,
+                 fused: bool = False):
+        self.spec = fir.FirSpec(taps_r, interpolation, decimation)
+        self.taps_f = np.asarray(taps_f, dtype=np.float32)
+        self.gain = float(gain)
+        self.offset = int(offset)
+        # fused=True routes through the single two-stage Pallas kernel
+        # (kernels/backhalf_pallas.py).  MEASURED NEGATIVE RESULT (r5
+        # probe, 32x10 MiB chain shapes): the mega-kernel runs 2.2 ms vs
+        # 1.01 ms for [pallas band resample] -> [pallas audio FIR with
+        # the gain folded into its taps] — the in-kernel stage-2 band
+        # (with its Ge-extended stage 1 and cross-tile slices) costs
+        # more than the intermediate's HBM round trip it saves.  The
+        # default executes the measured winner; the op still buys the
+        # single-carry streaming seam and one-ppermute halo either way.
+        self.fused = bool(fused)
+        self._taps_scaled = (self.gain
+                             * self.taps_f).astype(np.float32)
+        I, D = self.spec.interpolation, self.spec.decimation
+        off_u = self.offset + (self.taps_f.shape[0] - 1) * D
+        self._offset_k = off_u % I
+        self._q = off_u // I
+
+    def _check(self, n_in):
+        I, D = self.spec.interpolation, self.spec.decimation
+        if (n_in * I) % D:
+            raise ValueError(
+                f"block {n_in} incompatible with rate {I}/{D}")
+        return n_in * I // D
+
+    out_len = _check
+
+    def out_dtype(self, in_dtype):
+        return jnp.float32
+
+    def hist_len(self, n_in: int) -> int:
+        return Fir(self.spec, self.offset).hist_len(n_in) + self._q
+
+    def init_carry(self, n_in, in_dtype, batch_shape=()):
+        return jnp.zeros(batch_shape + (self.hist_len(n_in),),
+                         dtype=jnp.float32)
+
+    def _kernel(self, x, num: int, offset: int, start: int = 0):
+        if self.fused:
+            from sdr_tpu.kernels.backhalf_pallas import resample_fir_gain
+            y = resample_fir_gain(self.spec.taps, self.spec.interpolation,
+                                  self.spec.decimation, self.taps_f,
+                                  self.gain, x, offset, num, start)
+            if y is not None:
+                return y
+        yr, _ = fir.fir_resample(
+            self.spec.taps, self.spec.interpolation,
+            self.spec.decimation, x, offset,
+            num + self.taps_f.shape[0] - 1, start=start)
+        return fir.fir_filter(self._taps_scaled, yr, num)
+
+    def _seam_plan(self, H: int, n_in: int, n_out: int):
+        """(mb, seam_x, offset_main, start_main): the first ``mb``
+        outputs read history; the rest read only ``x`` at a rebased
+        static phase/origin (same zero-copy split as Fir._seam_plan)."""
+        if H == 0:
+            return None
+        I, D = self.spec.interpolation, self.spec.decimation
+        Kp = self.spec.taps_per_phase
+        Kf = self.taps_f.shape[0]
+        # earliest xext read of output m is i_k[m] (phase offset_k)
+        bound = min(n_out, int((H * I + self._offset_k) // D) + 2)
+        m = np.arange(bound + Kf + 1, dtype=np.int64)
+        t = m * D - self._offset_k
+        o = (-t) % I
+        i = (t + o) // I
+        mb = int(np.searchsorted(i[:bound + 1], H))
+        if mb == 0 or mb >= n_out:
+            return None
+        # last xext read of outputs [0, mb): window g' in [m, m+Kf)
+        seam_x = int(i[mb - 1 + Kf - 1]) + Kp - H
+        # rebase m -> m - mb: t shifts by mb*D
+        off_raw = self._offset_k - mb * D
+        offset_main = off_raw % I
+        shift = (offset_main - off_raw) // I
+        start_main = shift - H
+        if not (0 < seam_x <= n_in) or start_main < 0 or H > n_in:
+            return None
+        return mb, seam_x, offset_main, start_main
+
+    def apply(self, carry, x):
+        n_in = x.shape[-1]
+        n_out = self._check(n_in)
+        H = carry.shape[-1]
+        plan = self._seam_plan(H, n_in, n_out)
+        if plan is not None:
+            mb, seam_x, offset_main, start_main = plan
+            seam = jnp.concatenate([carry, x[..., :seam_x]], axis=-1)
+            yb = self._kernel(seam, mb, self._offset_k)
+            ym = self._kernel(x, n_out - mb, offset_main,
+                              start=start_main)
+            y = jnp.concatenate([yb, ym], axis=-1)
+            new_hist = x[..., n_in - H:]
+            return new_hist, y
+        xext = jnp.concatenate([carry, x], axis=-1)
+        y = self._kernel(xext, n_out, self._offset_k)
         new_hist = xext[..., xext.shape[-1] - H:] if H else carry
         return new_hist, y
 
