@@ -62,16 +62,22 @@ BASELINE_PER_CHIP = 10e9 / 16  # BASELINE.md: >=10 GS/s aggregate on v5e-16
 HEADLINE_CONFIG = {
     "formulation": "run_time_batched (vmap block-parallel, one program)",
     "front": "fused",         # ONE Pallas kernel: u8 IQ convert +
-                              # decimate + FM demod (U8FrontDemod, s16
-                              # taps, Q=128 — the r4 sweep winner; the
-                              # intermediate I/Q planes never touch HBM.
-                              # In-chain A/B r4: 4.83 ms vs 5.39 ms for
-                              # front='quantized' + planar demod)
+                              # decimate + FM demod (U8FrontDemod,
+                              # s8 taps, Q=128, combined band — the r5
+                              # sweep winner: 3.08 ms vs 3.55 for s16
+                              # per 32x10 MiB; chain-level accuracy vs
+                              # the exact front 8.6e-6, the demod
+                              # normalizes the quantization — see
+                              # fm_chain's docstring)
+    "front_precision": "s8",
     "atan2": "poly",          # in-kernel polynomial atan2 (5.8e-7 rad)
-    "method": "auto",         # back-half FIR dispatch: the measured table
-                              # routes the unit-stride audio FIR to the
-                              # Pallas banded kernel (in-chain A/B r3:
-                              # 13.1 ms vs 15.9 ms for method='conv')
+    "method": "auto",         # back half: ResampleFirScale — Pallas
+                              # band resample + Pallas audio FIR with
+                              # the volume folded into its taps (the
+                              # r5 measured winner at 1.01 ms; the
+                              # single fused two-stage kernel measured
+                              # 2.2 ms — negative result recorded in
+                              # kernels/backhalf_pallas.py)
     "nblocks": 32,
     "block_u8": 10_485_760,
     "timing": ("calibrated pair: 8- and 16-repetition programs "

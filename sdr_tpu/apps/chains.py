@@ -36,7 +36,7 @@ def fm_taps():
 
 def fm_chain(volume: float = 0.2, method: str = "auto",
              planar: bool = False, front: str = "exact",
-             front_precision: str = "s16", front_q_out: int | None = None,
+             front_precision: str = "s8", front_q_out: int | None = None,
              atan2: str = "poly",
              stereo: bool = False, fs_in: float = 1_280_000.0,
              deemphasis: float | None = None,
@@ -57,8 +57,16 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
     ~2e-4 abs difference from tap quantization, 50x inside the 0.01
     differential bound; the fast path on TPU); 'auto' picks quantized on
     TPU.  'quantized' implies the planar demod.  ``front_precision``:
-    's16' (hi/lo split taps, ~2e-4) or 's8' (single 8-bit band — half
-    the MXU work, ~2e-3, still 5x inside the differential bound).
+    's8' (single 8-bit band — half the MXU work; the default) or 's16'
+    (hi/lo split taps).  For the FM chain the two are
+    indistinguishable: the demod's atan2 normalizes the front's
+    amplitude-quantization error — measured CHAIN-level max audio
+    difference vs the exact f32 front of 8.6e-6 (s8) / 6e-8 (s16) on a
+    synthetic 75 kHz-deviation broadcast signal (r5 chain-accuracy
+    test, tests/test_quantized.py) — 1000x inside the reference's 0.01
+    differential bound.  The raw-filter worst case (uniform(-10,10)
+    white data, no demod behind it) remains ~8e-3 for s8; pick s16
+    explicitly for non-FM uses of U8FrontEnd if that matters.
     ``front_q_out``: the quantized front end's band geometry (outputs
     per window row; identical samples at any value — the dense band's
     MXU cost is linear in it, see ops/quantized.py).

@@ -51,26 +51,32 @@ __all__ = ["fft", "rfft", "frame", "spectrogram", "waterfall_image",
 # framework-wide layout rule (docs/DESIGN.md §2).
 # ---------------------------------------------------------------------------
 
-# 'auto' only routes to the matmul DFT at sizes near the measured win
-# (n=1024, bench_kernels.json); beyond this the four-step's extra FLOPs
-# (~2*sqrt(n)/log2(n) vs an FFT) and [N1,N1]/[N2,N2] constants outgrow
-# the custom-call overhead it amortizes.
-_MXU_FFT_AUTO_MAX = 4096
+# 'auto' routes to the matmul DFT inside the MEASURED winning range
+# (r5 crossover sweep, 16M samples/batch, one device window):
+#   n=256:   xla 9.80 GS/s  vs mxu 3.20   -> xla
+#   n=1024:  xla 1.25       vs mxu 8.11   -> mxu
+#   n=4096:  xla 3.60       vs mxu 5.31   -> mxu
+#   n=16384: xla 6.95       vs mxu 8.50   -> mxu
+# Below _MIN the [N1,N1]/[N2,N2] constants and lane fill lose to the
+# custom call; above _MAX (unmeasured) 'auto' stays on the exact call.
+_MXU_FFT_AUTO_MIN = 1024
+_MXU_FFT_AUTO_MAX = 16384
 
 
 def fft_precision():
     """Matmul precision of the four-step DFT stages.
 
-    HIGH (bf16x3) by default: measured max RELATIVE error 3e-6 at
-    n=1024 against jnp.fft's f32 custom call — far inside any
+    HIGH (bf16x3) by default: measured (r5 probe, n=1024, vs the f64
+    reference) max relative error 1.7e-5 — far inside any
     display/demod tolerance (the reference never tests its FFT at all:
-    tests/TestSuite.hs has no FFT properties) — at 2x the matmul
-    throughput of HIGHEST (64 vs 32 Tflop/s measured,
-    tools/measure_ceilings.py).  Override with
-    ``SDR_TPU_FFT_PRECISION=default|high|highest`` (DEFAULT, bf16x1,
-    measures ~6e-4 relative — rejected as the default because a
-    0.01-absolute reading of the reference's differential bound on
-    unit-power signals would sit within one decade of it).
+    tests/TestSuite.hs has no FFT properties; jnp.fft's own f32 custom
+    call measures 3.2e-7, HIGHEST 1.3e-7).  In-op, HIGH runs ~5% faster
+    than HIGHEST at (32,32) and the gap widens with the
+    lane-preferred (8,128) split where stage 2 is the MXU term.
+    Override with ``SDR_TPU_FFT_PRECISION=default|high|highest``
+    (DEFAULT, bf16x1, measures 3.2e-3 relative — rejected as the
+    default: within a decade of a 0.01-absolute reading of the
+    reference's differential bound on unit-power signals).
     """
     name = os.environ.get("SDR_TPU_FFT_PRECISION", "high").lower()
     try:
@@ -84,13 +90,20 @@ def fft_precision():
 
 
 def _fft_factors(n: int) -> Optional[tuple]:
-    """Pick N1*N2 = n with both factors MXU-friendly, or None.
+    """Pick N1*N2 = n with N2 lane-friendly, or None.
 
-    Factors below 8 waste the MXU's 8-sublane tiling; above 2048 the DFT
-    matrices start to rival the data.  Prefer the most square split
-    (minimizes N1+N2, the per-sample MAC count)."""
+    Prefer ``N2 = 128`` (the TPU lane width) whenever it divides n with
+    N1 in [8, 128]: the r5 sweep measured (8, 128) at 1.9x the
+    most-square (32, 32) split at n=1024 (8.11 vs 4.24 GS/s, same
+    window) — with N2=128 the stage-2 contraction runs over full lanes
+    and the transposed readout [k2, k1] is already the natural output
+    order.  Otherwise fall back to the most-square split (minimizes
+    N1+N2, the per-sample MAC count); factors below 8 waste the MXU's
+    8-sublane tiling, above 2048 the DFT matrices rival the data."""
     if n < 64:
         return None
+    if n % 128 == 0 and 8 <= n // 128 <= 128:
+        return (n // 128, 128)
     best = None
     d = int(np.sqrt(n))
     while d >= 8:
@@ -123,10 +136,8 @@ def fft_mxu_planar(xr, xi, precision=None, factors=None):
     batched.  This is the in-chain form (planar pipelines call it
     without ever building complex64).
 
-    ``precision`` defaults to :func:`fft_precision` (HIGH, bf16x3:
-    measured max relative error 3e-6 at n=1024 vs the f32 custom call —
-    3000x inside any display/demod need — at twice the HIGHEST matmul
-    throughput; see bench_kernels fft rows).
+    ``precision`` defaults to :func:`fft_precision` (HIGH, bf16x3 —
+    measured accuracy/throughput tradeoff in its docstring).
     """
     if precision is None:
         precision = fft_precision()
@@ -173,17 +184,16 @@ def fft(x, axis: int = -1, method: str = "auto"):
 
     ``method``: 'xla' = jnp.fft custom call; 'mxu' = the four-step matmul
     factorization (`fft_mxu`); 'auto' picks 'mxu' on TPU when the length
-    factors AND is near the measured-win regime (bench_kernels.json has
-    mxu >> xla at n=1024; the four-step's FLOP overhead grows as
-    N1+N2 ~ 2*sqrt(n), so 'auto' is bounded at n <= 4096 — larger or
-    unmeasured sizes stay on the exact custom call; explicit
-    method='mxu' remains unbounded).
+    factors AND sits in the measured winning range [1024, 16384] (the
+    r5 crossover sweep above _MXU_FFT_AUTO_MIN; the custom call wins
+    at n <= 256; explicit method='mxu' remains unbounded).
     """
     x = jnp.asarray(x)
     n = int(x.shape[axis])
     if method == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        method = ("mxu" if (on_tpu and n <= _MXU_FFT_AUTO_MAX
+        method = ("mxu" if (on_tpu
+                            and _MXU_FFT_AUTO_MIN <= n <= _MXU_FFT_AUTO_MAX
                             and _fft_factors(n)) else "xla")
     if method == "mxu":
         return fft_mxu(x, axis=axis)

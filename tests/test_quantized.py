@@ -262,3 +262,37 @@ def test_u8_front_end_q_out_streaming(rng):
             ys.append(np.asarray(y))
         outs.append(np.concatenate(ys, axis=-1))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_chain_level_front_precision_accuracy():
+    """CHAIN-level accuracy of the quantized fronts on a real FM signal:
+    the demod's atan2 normalizes the front's amplitude-quantization
+    error, so s8 lands ~1e-5 from the exact f32 front — 1000x inside
+    the reference's 0.01 bound (the basis for fm_chain's s8 default)."""
+    import jax.numpy as jnp
+    from sdr_tpu.stream import Pipeline
+    from sdr_tpu.stream.sources import fm_mod
+    from sdr_tpu.apps.chains import fm_chain
+
+    fs = 1_280_000.0
+    n = 163840
+    t = np.arange(n // 2) / fs
+    audio = (0.8 * np.sin(2 * np.pi * 1000 * t)
+             + 0.2 * np.sin(2 * np.pi * 4000 * t)).astype(np.float32)
+    iq = fm_mod(audio, 75e3, fs)
+    raw = np.empty(n, np.uint8)
+    raw[0::2] = np.clip(np.round(iq.real * 127 + 128), 0, 255)
+    raw[1::2] = np.clip(np.round(iq.imag * 127 + 128), 0, 255)
+
+    outs = {}
+    for tag, kw in (("exact", dict(front="exact")),
+                    ("s16", dict(front="quantized",
+                                 front_precision="s16")),
+                    ("s8", dict(front="quantized",
+                                front_precision="s8"))):
+        p = Pipeline(fm_chain(method="conv", fuse_back=False, **kw),
+                     block_in=n, in_dtype=jnp.uint8)
+        _, y = p.process(jnp.asarray(raw))
+        outs[tag] = np.asarray(y)
+    assert np.abs(outs["s16"] - outs["exact"]).max() < 1e-5
+    assert np.abs(outs["s8"] - outs["exact"]).max() < 1e-4
