@@ -319,6 +319,50 @@ def bench_channelizer(n_channels: int = 64, n: int = 4_096_000,
     return 2 * n / dt
 
 
+def bench_live(block: int = 1_310_720, nblocks: int = 192,
+               batch_sizes=(0, 1, 8, 32)):
+    """The LIVE path (VERDICT r4 #8): end-to-end host-loop throughput of
+    apps/fm.py's processing loop — host u8 blocks in, audio as host
+    numpy out, streaming carries threaded across group seams.  B=0 is
+    the sequential ``Pipeline.run`` loop; B>0 the segmented
+    ``run_batched`` grouping apps/fm.py exposes as ``--batched``.
+    Returns {"live_run" | "live_batched_B": input complex samples/s};
+    the argmax is the measured basis for the app's --batched default.
+    Wall-clock timing (not calibrated-pair): the live loop's dispatch
+    overhead IS part of what it sustains."""
+    from sdr_tpu.apps.chains import fm_chain
+    from sdr_tpu.stream import Pipeline
+    rng = np.random.default_rng(0)
+    pool = [rng.integers(0, 256, block, dtype=np.uint8)
+            for _ in range(8)]
+
+    def src(n):
+        for i in range(n):
+            yield pool[i % len(pool)]
+
+    res = {}
+    for B in batch_sizes:
+        p = Pipeline(fm_chain(), block_in=block, in_dtype=jnp.uint8)
+        tag = "live_run" if B == 0 else f"live_batched_{B}"
+        try:
+            with _case_alarm(tag, 600):
+                run = (lambda n, B=B, p=p: p.run(src(n)) if B == 0
+                       else p.run_batched(src(n), B))
+                for y in run(2 * max(B, 1)):   # compile warmup
+                    np.asarray(y)
+                t0 = time.perf_counter()
+                for y in run(nblocks):
+                    np.asarray(y)
+                dt = time.perf_counter() - t0
+            res[tag] = nblocks * (block // 2) / dt
+            print(f"{tag:18s} {res[tag]/1e9:7.2f} GS/s "
+                  f"({nblocks * block / 2 / 1.28e6 / dt:,.0f}x realtime)",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"{tag}: {str(e)[:160]}", file=sys.stderr)
+    return res
+
+
 class OverheadDominated(ValueError):
     """_time_jit's 2x program was not measurably slower: the region is
     constant-cost-dominated at this repetition count."""
@@ -441,6 +485,9 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32,
                         block, batch=nblocks)
     rl_fused = chain_roofline(fm_chain(method="conv", front="fused"),
                               block, batch=nblocks)
+    rl_new = chain_roofline(fm_chain(method="conv", front="fused",
+                                     fuse_back=True), block,
+                            batch=nblocks)
 
     def iters_for(floor_s: float) -> int:
         return int(min(64, max(8, 0.02 // max(floor_s, 1e-6) + 1)))
@@ -529,14 +576,32 @@ def bench_stages(block: int = 10_485_760, nblocks: int = 32,
     # the r4 headline front: convert + decimate + FM demod in ONE Pallas
     # kernel (its floor is the fused chain's stage-0 roofline)
 
-    def _fused_case(i, r):
-        from sdr_tpu.kernels.u8_front_demod_pallas import (
-            u8_front_demod_pallas)
-        return u8_front_demod_pallas(rf, 8, r + i.astype(jnp.uint8),
-                                     None, n_d)
+    def _fused_case(prec):
+        def f(i, r):
+            from sdr_tpu.kernels.u8_front_demod_pallas import (
+                u8_front_demod_pallas)
+            return u8_front_demod_pallas(rf, 8, r + i.astype(jnp.uint8),
+                                         None, n_d, precision=prec)
+        return f
 
-    case("front_demod_fused", lambda: _fused_case, total, lambda: (raw(),),
-         stage=rl_fused["stages"][0])
+    # the chain-default front (s8, r5) and the s16 comparison row
+    case("front_demod_fused", lambda: _fused_case("s8"), total,
+         lambda: (raw(),), stage=rl_new["stages"][0])
+    case("front_demod_fused_s16", lambda: _fused_case("s16"), total,
+         lambda: (raw(),), stage=rl_fused["stages"][0])
+
+    def _backhalf_case():
+        from sdr_tpu.stream import ResampleFirScale
+        op = ResampleFirScale(ars, 3, 10, afl, 0.2)
+
+        def f(i, x):
+            return op._kernel(x + i.astype(jnp.float32) * 1e-30, n_r,
+                              op._offset_k)
+        return f
+
+    # the r5 chain tail (band resample + gain-folded audio FIR)
+    case("backhalf_resample_fir", _backhalf_case, total, lambda: (xd(),),
+         stage=rl_new["stages"][1], iters=24)
     case("front_exact_convert",
          lambda: lambda i, r: convert.iq_u8_to_planar(
              r + i.astype(jnp.uint8)),
@@ -710,6 +775,23 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
          lambda i, r: fir_decimate_u8_planar(
              taps51, 8, r + i.astype(jnp.uint8),
              (nb // 32 // 2 - 51) // 8 + 1, impl="auto"), (rawb,), n=nb)
+    # precision x band-geometry rows (VERDICT r4 #2): the s8/Q sweep
+    # that set the chain default (s8 q128 — see fm_chain's docstring)
+    for prec, q in (("s8", 128), ("s16", 128), ("s8", 64), ("s16", 64)):
+        case(f"u8_front_k51_d8_{prec}_q{q}_pallas",
+             lambda i, r, p=prec, qq=q: fir_decimate_u8_planar(
+                 taps51, 8, r + i.astype(jnp.uint8),
+                 (nb // 32 // 2 - 51) // 8 + 1, impl="pallas",
+                 precision=p, q_out=qq), (rawb,), n=nb)
+    # channelizer: stencil (TPU path) vs gather (oracle) at the
+    # 64-channel production shape (VERDICT r4 #7)
+    from sdr_tpu.ops.channelize import polyphase_channelize, \
+        channelizer_taps
+    ctaps = channelizer_taps(64, 12)
+    for cmeth in ("stencil", "gather"):
+        case(f"channelize_c64_p12_{cmeth}",
+             lambda i, x, m=cmeth: jnp.abs(polyphase_channelize(
+                 ctaps, 64, pr(i, x), method=m)), (xcr32,))
     case("resample_r_3_4",
          lambda i, x: fir.fir_resample(taps128, 3, 4, pr(i, x))[0],
          (xr32,))
@@ -743,6 +825,15 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
     case("fft_1024_mxu",
          lambda i, x: jnp.abs(fftops.fft_mxu(pr(i, x).reshape(-1, 1024))),
          (xc0,))
+    # crossover rows (the measured basis for _MXU_FFT_AUTO_MIN/MAX)
+    for nfft in (256, 4096, 16384):
+        if fftops._fft_factors(nfft):
+            case(f"fft_{nfft}_mxu",
+                 lambda i, x, nn=nfft: jnp.abs(fftops.fft_mxu(
+                     pr(i, x).reshape(-1, nn))), (xc0,))
+        case(f"fft_{nfft}_xla",
+             lambda i, x, nn=nfft: jnp.abs(fftops.fft(
+                 pr(i, x).reshape(-1, nn), method="xla")), (xc0,))
     # variant matrix: {filter, decimate} x {real, complex} x methods.
     # Operands are BATCHED [32, block/32] — the shape every chain
     # actually runs (XLA's TPU conv parallelizes over batch; a single
@@ -1071,6 +1162,17 @@ def main():
         if stream is not None:
             results["fm_chain_stream"] = stream
             results["sections_run"].append("stream")
+            _save_details(results)
+
+    # 6. the LIVE host-loop path (apps/fm.py --batched basis)
+    if _remaining() > 240:
+        live = _subproc(
+            "import json, bench; print(json.dumps(bench.bench_live()))",
+            "live_path", timeout=min(600.0, _remaining() - 60),
+            attempts=1)
+        if live is not None:
+            results.update(live)
+            results["sections_run"].append("live")
             _save_details(results)
 
     for k, v in sorted(results.items()):

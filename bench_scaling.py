@@ -27,13 +27,14 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 import jax.numpy as jnp
 
 
-def measure(n_dev: int, chunk_u8: int = 1_638_400, iters: int = 10):
+def measure(n_dev: int, chunk_u8: int = 1_638_400, iters: int = 10,
+            chain=None):
     from sdr_tpu import parallel
     from sdr_tpu.apps.chains import fm_chain
 
     devs = jax.devices()[:n_dev]
     mesh = parallel.make_mesh((n_dev,), ("t",), devs)
-    chain = fm_chain()
+    chain = chain if chain is not None else fm_chain()
     n_global = chunk_u8 * n_dev
     raw = np.random.default_rng(0).integers(0, 256, n_global,
                                             dtype=np.uint8)
@@ -136,6 +137,33 @@ def attribute_two_device(chunk_u8: int = 1_638_400, iters: int = 12):
     }
 
 
+def collective_chain_sweep(iters: int = 8):
+    """1->2 device efficiency for chains exercising EVERY collective
+    family the framework ships (VERDICT r4 #6): the stereo+de-emphasis
+    FM chain (pilot-lock prefix + matrix affine-prefix IIR + fused-tail
+    single-slice halo) and the AM chain (linear-scan AGC prefix +
+    Mix + DC block).  The plain FM chain's halo-only pattern is the
+    main sweep."""
+    from sdr_tpu.apps.chains import fm_chain, am_chain
+    out = {}
+    chains = {
+        "fm_stereo_deemph_fusedtail": lambda: fm_chain(
+            stereo=True, deemphasis=75e-6, fuse_back=True),
+        "am_agc_linear": lambda: am_chain(),
+    }
+    for tag, mk in chains.items():
+        try:
+            r1 = measure(1, iters=iters, chain=mk())
+            r2 = measure(2, iters=iters, chain=mk())
+            out[tag] = {"rate_1dev": r1, "rate_2dev": r2,
+                        "efficiency_2dev": round(r2 / 2 / r1, 4)}
+            print(f"{tag}: eff@2 = {r2/2/r1:.2%}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            out[tag] = {"error": str(e)[:200]}
+            print(f"{tag}: {e}", file=sys.stderr)
+    return out
+
+
 def main():
     n = len(jax.devices())
     sweep = sorted({1, 2, n // 2, n} - {0})
@@ -157,12 +185,14 @@ def main():
             ">=90% target is measurable only on a real pod slice"
             ) if backend == "cpu" else "real device mesh"
     breakdown = None
+    collectives = None
     if n >= 2:
         try:
             breakdown = attribute_two_device()
             print(f"2-device attribution: {breakdown}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             breakdown = {"error": str(e)[:200]}
+        collectives = collective_chain_sweep()
     print(json.dumps({
         "metric": "fm_chain_weak_scaling_efficiency",
         "value": round(min(eff.values()), 4) if eff else 0,
@@ -172,6 +202,7 @@ def main():
         "devices": {str(k): round(v) for k, v in results.items()},
         "efficiency": {str(k): round(v, 4) for k, v in eff.items()},
         "two_device_attribution": breakdown,
+        "collective_chain_sweep": collectives,
     }))
 
 

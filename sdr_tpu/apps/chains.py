@@ -182,9 +182,16 @@ def am_chain(if_freq: float = 0.25, decim: int = 16, agc_mu: float = 0.005,
             Scale(volume)]
 
 
-def waterfall_chain(fft_size: int = 1024, hop: int = 512):
+def waterfall_chain(fft_size: int = 1024, hop: int = 512,
+                    planar: bool = True):
     """Spectral waterfall ops (config #3): u8 IQ -> windowed overlapping
-    FFT rows (the fork->fftw->plotWaterfall chain of the reference)."""
+    FFT magnitude rows (the fork->fftw->plotWaterfall chain of the
+    reference).  ``planar`` (default) keeps the whole chain in planar
+    f32 — complex64 never exists (see FftStream)."""
+    if planar:
+        return [IqConvertU8(planar=True),
+                FftStream(fft_size, hop, window=design.blackman(fft_size),
+                          planar=True)]
     return [IqConvertU8(),
             FftStream(fft_size, hop, window=design.blackman(fft_size))]
 

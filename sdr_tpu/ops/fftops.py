@@ -218,9 +218,22 @@ def frame(x, size: int, hop: Optional[int] = None, window=None):
     num = (n - size) // hop + 1
     if num < 1:
         raise ValueError("input shorter than one frame")
-    idx = (np.arange(num)[:, None] * hop
-           + np.arange(size)[None, :]).astype(np.int32)
-    frames = jnp.take(x, jnp.asarray(idx), axis=-1)
+    if size % hop == 0:
+        # gather-free: frame m = concat of k consecutive hop-rows of the
+        # FREE [.., n/hop, hop] reshape — k shifted views, one fused
+        # materialization.  The old jnp.take gather measured 0.14 GS/s
+        # through the whole waterfall chain on TPU (r5 probe4: gathers
+        # materialize index-by-index through HBM); this form is two
+        # orders faster at the same output.
+        k = size // hop
+        rows = x[..., : (num + k - 1) * hop].reshape(
+            x.shape[:-1] + (num + k - 1, hop))
+        frames = jnp.concatenate(
+            [rows[..., i: i + num, :] for i in range(k)], axis=-1)
+    else:
+        idx = (np.arange(num)[:, None] * hop
+               + np.arange(size)[None, :]).astype(np.int32)
+        frames = jnp.take(x, jnp.asarray(idx), axis=-1)
     if window is not None:
         frames = frames * jnp.asarray(window, dtype=frames.dtype)
     return frames

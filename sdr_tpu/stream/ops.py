@@ -1141,7 +1141,8 @@ class FftStream(StreamOp):
     time_axis_out = -2
 
     def __init__(self, size: int, hop: Optional[int] = None, window=None,
-                 shift: bool = True, magnitude: bool = True):
+                 shift: bool = True, magnitude: bool = True,
+                 planar: bool = False):
         self.size = size
         self.hop = hop if hop is not None else size
         if self.hop > size:
@@ -1150,6 +1151,16 @@ class FftStream(StreamOp):
                        if window is not None else design.hanning(size))
         self.shift = shift
         self.magnitude = magnitude
+        # planar=True: input is planar-complex [..., 2, n] f32 (from
+        # IqConvertU8(planar=True)); the DFT runs fft_mxu_planar and
+        # complex64 never exists (the .real/.imag splits before the
+        # matmul DFT are relayout passes — the r5 probe measured the
+        # complex64 waterfall chain at 0.96 GS/s).  Requires
+        # magnitude=True (the planes end at |X|).
+        self.planar = planar
+        if planar and not magnitude:
+            raise ValueError("planar FftStream requires magnitude=True")
+        self.extra_block_dims = 1 if not planar else 0
 
     def out_len(self, n_in):
         if n_in % self.hop:
@@ -1159,6 +1170,9 @@ class FftStream(StreamOp):
     def out_dtype(self, in_dtype):
         return jnp.float32 if self.magnitude else jnp.complex64
 
+    def map_batch_shape(self, batch_shape):
+        return batch_shape[:-1] if self.planar else batch_shape
+
     def init_carry(self, n_in, in_dtype, batch_shape=()):
         return jnp.zeros(batch_shape + (self.size - self.hop,),
                          dtype=in_dtype)
@@ -1166,10 +1180,28 @@ class FftStream(StreamOp):
     def apply(self, carry, x):
         xext = jnp.concatenate([carry, x], axis=-1)
         frames = fftops.frame(xext, self.size, self.hop, self.window)
-        F = fftops.fft(frames)
-        if self.shift:
-            F = jnp.fft.fftshift(F, axes=-1)
-        y = jnp.abs(F) if self.magnitude else F
+        if self.planar:
+            from sdr_tpu.ops.fftops import (fft_mxu_planar, _fft_factors,
+                                            _MXU_FFT_AUTO_MIN,
+                                            _MXU_FFT_AUTO_MAX)
+            fr, fi = frames[..., 0, :, :], frames[..., 1, :, :]
+            use_mxu = (jax.default_backend() == "tpu"
+                       and _MXU_FFT_AUTO_MIN <= self.size
+                       <= _MXU_FFT_AUTO_MAX
+                       and _fft_factors(self.size))
+            if use_mxu:
+                yr, yi = fft_mxu_planar(fr, fi)
+            else:
+                F = jnp.fft.fft(jax.lax.complex(fr, fi))
+                yr, yi = jnp.real(F), jnp.imag(F)
+            y = jnp.sqrt(yr * yr + yi * yi)
+            if self.shift:
+                y = jnp.fft.fftshift(y, axes=-1)
+        else:
+            F = fftops.fft(frames)
+            if self.shift:
+                F = jnp.fft.fftshift(F, axes=-1)
+            y = jnp.abs(F) if self.magnitude else F
         H = self.size - self.hop
         new = xext[..., xext.shape[-1] - H:] if H else carry
         return new, y

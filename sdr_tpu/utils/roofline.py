@@ -212,6 +212,25 @@ def _cost_one(op, n_in: int, in_dtype, in_batch: tuple, batch: int):
     elif isinstance(op, S.Fir):
         c.vpu_flops = 0.0
         _fir_cost(op, c, n_in, n_out, cplx_in, mul_in)
+    elif isinstance(op, S.ResampleFirScale):
+        # fused tail: Pallas band resample + Pallas unit-stride FIR with
+        # the gain folded into its taps (the r5 measured winner); the
+        # intermediate is free under the fused-optimum byte model
+        from sdr_tpu.kernels.resample_pallas import _plan
+        spec = op.spec
+        plan = _plan(spec.n_taps, spec.interpolation, spec.decimation,
+                     0, 0)
+        if plan is not None:
+            _, _, col_plans, _, _, _ = plan
+            macs1 = sum(hi - lo for lo, hi in col_plans) / len(col_plans)
+        else:
+            G = spec.interpolation * max(
+                1, int(round(LANE / spec.interpolation)))
+            macs1 = G * spec.decimation // spec.interpolation
+        Kf = op.taps_f.shape[0]
+        nt = -(-(LANE + Kf - 1) // LANE)
+        c.mxu_f32_flops = 2.0 * n_out * (macs1 + nt * LANE) * mul_out
+        c.note = f"band+fir macs/out={macs1 + nt * LANE:.0f}"
     elif isinstance(op, S.FmDemod):
         c.vpu_flops = 30.0 * n_out * mul_out      # cross-mul + atan2
     elif isinstance(op, (S.AmDemod, S.Mix)):
