@@ -816,9 +816,15 @@ def bench_kernels(block: int = 1 << 22, iters: int = 24, dump: str = None,
     # rate scale rides, via a chained PIECEWISE-linear step (max chains
     # have exponentially many pieces, no closed composition for the
     # simplifier to take).
+    # 64 MiB operand: a block-sized (16 MiB) array fits the ~16 MB VMEM
+    # and the whole barrier chain stays resident, measuring the VPU ALU
+    # rate (1.4 TS/s recorded once in r5) instead of the HBM pass the
+    # row is defined as — 4x block forces every iteration through HBM.
+    xr4 = (x0.reshape(1, -1) if collect or only not in (None, "scale")
+           else jnp.concatenate([x0] * 4).reshape(32, nb // 32))
     case("scale",
          lambda i, x: convert.scale(1.0000001, jnp.maximum(x, 0.999 * x)),
-         (xr32,), case_iters=256, chained=True)
+         (xr4,), n=nb, case_iters=64, chained=True)
     case("fft_1024_batch",
          lambda i, x: jnp.abs(fftops.fft(pr(i, x).reshape(-1, 1024),
                                          method="xla")), (xc0,))

@@ -63,6 +63,12 @@ def polyphase_channelize(taps, n_channels: int, x,
     * ``'gather'`` — the old [..., C, num, P] window-gather + einsum
       form.  TPU gathers materialize P copies of the stream through HBM
       (DESIGN §2); kept as the differential oracle / tiny-input path.
+
+    Measured r5 at the 64-channel, 12-taps-per-branch production shape
+    (bench_kernels.json ``channelize_c64_p12_*``, same device window):
+    stencil 7.09 GS/s vs gather 0.88 GS/s — 8.0x, so 'auto' is
+    unconditionally the stencil (no crossover was found at any tested
+    C; the gather path exists for differential testing only).
     """
     C = int(n_channels)
     taps = np.asarray(taps, dtype=np.float32)
