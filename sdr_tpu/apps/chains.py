@@ -13,8 +13,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from sdr_tpu.ops import design
-from sdr_tpu.stream import (Agc, AmDemod, Fir, FftStream, FmDemod,
-                            IqConvertU8, Map, Mix, Scale)
+from sdr_tpu.stream import (Agc, AmDemod, DcBlocker, Fir, FftStream,
+                            FmDemod, IqConvertU8, Mix, Scale)
 
 __all__ = ["fm_taps", "fm_chain", "am_chain", "waterfall_chain",
            "channelizer_chain"]
@@ -158,10 +158,21 @@ def fm_chain(volume: float = 0.2, method: str = "auto",
 
 def am_chain(if_freq: float = 0.25, decim: int = 16, agc_mu: float = 0.005,
              volume: float = 0.5, method: str = "auto",
-             agc_approx: int | None = None):
+             agc_approx: int | None = None, planar: bool | None = None):
     """AM/airband receiver ops (config #4): u8 IQ -> mix the carrier at
     ``if_freq`` (cycles/sample) to DC -> decimating channel filter ->
     AGC -> envelope -> DC block -> volume.
+
+    ``planar`` (default: True unless ``agc_approx`` selects the
+    sequential AGC, which is complex-form only): the whole chain runs in
+    the planar-complex layout — f32 with a [2] plane axis that the FIR
+    decimator batches over, a (cos, sin) LO rotation, and the AGC gain
+    scanned from the all-real envelope.  complex64 is never
+    materialized; besides the layout economics (DESIGN §2), the complex
+    form's elementwise graph composed with the AGC associative scan
+    never returns from the axon runtime's remote compiler (r5 measured:
+    the all-real planar graph compiles in ~70 s cold, the complex one
+    was killed at 30+ min three times).
 
     The default AGC is the linear associative-scan form
     (:class:`~sdr_tpu.stream.Agc` ``method='linear'``): TPU-fast and
@@ -169,16 +180,28 @@ def am_chain(if_freq: float = 0.25, decim: int = 16, agc_mu: float = 0.005,
     (``run_time_batched`` / ``run_time_sharded``) out of the box.
     ``agc_approx=R`` instead selects the literal sequential AGC with the
     R-sweep approximate sharding (the pathological-regime fallback)."""
+    if planar is None:
+        planar = agc_approx is None
+    if planar and agc_approx is not None:
+        raise ValueError("agc_approx (the sequential-AGC fallback) is "
+                         "complex-form only; pass planar=False")
     chan = design.windowed_sinc(64, 1.0 / decim, design.hamming)
-    agc = (Agc(agc_mu, 1.0) if agc_approx is None
+    agc = (Agc(agc_mu, 1.0, planar=planar) if agc_approx is None
            else Agc(agc_mu, 1.0, method="scan",
                     approx_time_sharding=agc_approx))
-    return [IqConvertU8(),
-            Mix(-if_freq),
+    # DC removal is the reference's dcBlocker IIR (filter.c:152-161), NOT
+    # a per-block mean subtraction: the mean of the LOCAL block/shard is
+    # not the stream's DC, so a mean-subtract Map breaks the
+    # blockwise==one-shot contract and sharded==sequential equality (the
+    # planar differential test caught the old Map form doing exactly
+    # that).  DcBlocker carries (last_sample, last_output) and
+    # time-shards exactly via the affine prefix.
+    return [IqConvertU8(planar=planar),
+            Mix(-if_freq, planar=planar),
             Fir.decimator(chan, decim, method=method),
             agc,
-            AmDemod(),
-            Map(lambda x: x - jnp.mean(x, axis=-1, keepdims=True)),
+            AmDemod(planar=planar),
+            DcBlocker(),
             Scale(volume)]
 
 

@@ -38,7 +38,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dc_blocker", "agc", "linear_scan"]
+__all__ = ["dc_blocker", "agc", "agc_gains", "linear_scan"]
 
 
 def linear_scan(a, b, y0):
@@ -94,6 +94,26 @@ def agc_affine(x, mu, reference):
     return A, B
 
 
+def agc_gains(m, mu, reference, state=1.0):
+    """The linear-form AGC gain trajectory from REAL envelopes ``m``
+    (= |x|): returns ``(g, final)`` with ``g[n]`` the gain applied to
+    sample n and ``final`` the gain entering the next block.  All-real —
+    the planar chains' form (``stream.Agc(planar=True)`` multiplies the
+    (re, im) planes by ``g`` itself), split out so no complex value ever
+    enters the associative scan (see ops/shift.py:oscillator_planar on
+    why that matters on the axon runtime)."""
+    state = jnp.asarray(state, dtype=jnp.float32)
+    mu = jnp.asarray(mu, dtype=jnp.float32)
+    reference = jnp.asarray(reference, dtype=jnp.float32)
+    a = 1.0 - mu * m
+    h = linear_scan(a, jnp.full_like(a, mu * reference), state)
+    # h[n] = g[n+1]; outputs use g[n] = (state, h[:-1])
+    g = jnp.concatenate(
+        [jnp.broadcast_to(state[..., None], m.shape[:-1] + (1,)),
+         h[..., :-1]], axis=-1)
+    return g, h[..., -1]
+
+
 def agc(x, mu, reference, state=1.0, method: str = "linear"):
     """Automatic gain control; returns (y, final_state).
 
@@ -109,14 +129,10 @@ def agc(x, mu, reference, state=1.0, method: str = "linear"):
     reference = jnp.asarray(reference, dtype=jnp.float32)
 
     if method == "linear":
-        a = 1.0 - mu * jnp.abs(x).astype(jnp.float32)
-        h = linear_scan(a, jnp.full_like(a, mu * reference), state)
-        # h[n] = g[n+1]; outputs use g[n] = (state, h[:-1])
-        g = jnp.concatenate(
-            [jnp.broadcast_to(state[..., None], x.shape[:-1] + (1,)),
-             h[..., :-1]], axis=-1)
+        g, final = agc_gains(jnp.abs(x).astype(jnp.float32), mu,
+                             reference, state)
         return x * g.astype(x.dtype if not jnp.iscomplexobj(x)
-                            else jnp.float32), h[..., -1]
+                            else jnp.float32), final
     if method != "scan":
         raise ValueError(f"unknown agc method {method!r}")
 

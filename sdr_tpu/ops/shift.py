@@ -11,7 +11,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["half_band_up", "quarter_band_up", "mix", "oscillator"]
+__all__ = ["half_band_up", "quarter_band_up", "mix", "oscillator",
+           "oscillator_planar"]
 
 
 def half_band_up(size: int, dtype=jnp.float32):
@@ -47,6 +48,20 @@ def oscillator(size: int, freq: float, phase: float = 0.0,
     n = np.arange(size, dtype=np.float64)
     v = np.exp(1j * (2 * np.pi * freq * n + phase))
     return jnp.asarray(v, dtype=dtype)
+
+
+def oscillator_planar(size: int, freq: float, phase: float = 0.0):
+    """The planar-complex form of :func:`oscillator`: ``[2, size]`` f32
+    ``(cos, sin)`` rows.  Planar chains never materialize complex64 —
+    beyond the layout economics (DESIGN §2), large complex elementwise
+    graphs composed with associative scans wedge the axon runtime's
+    remote compiler (observed r5: the complex-input AGC chain never
+    returned from compilation; the identical all-real planar graph
+    compiles in seconds)."""
+    n = np.arange(size, dtype=np.float64)
+    ang = 2 * np.pi * freq * n + phase
+    return jnp.asarray(np.stack([np.cos(ang), np.sin(ang)]).astype(
+        np.float32))
 
 
 def mix(x, lo):

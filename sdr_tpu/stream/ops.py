@@ -923,12 +923,25 @@ class Iir(StreamOp):
 
 
 class AmDemod(StreamOp):
-    """AM envelope detector (stateless)."""
+    """AM envelope detector (stateless).
+
+    ``planar=True``: input is planar-complex ``[..., 2, n]`` f32; the
+    envelope consumes the plane axis (``sqrt(re^2 + im^2)``) — the
+    all-real form the planar AM chain runs on TPU."""
+
+    def __init__(self, planar: bool = False):
+        self.planar = planar
+        self.extra_block_dims = -1 if planar else 0
+
+    def map_batch_shape(self, batch_shape):
+        return batch_shape[:-1] if self.planar else batch_shape
 
     def out_dtype(self, in_dtype):
         return jnp.float32
 
     def apply(self, carry, x):
+        if self.planar:
+            return carry, jnp.sqrt(x[..., 0, :] ** 2 + x[..., 1, :] ** 2)
         return carry, demod.am_demod(x)
 
 
@@ -944,6 +957,13 @@ class Agc(StreamOp):
     map ``g -> A*g + B`` (``scans.agc_affine``), composed across shards
     by the same ``exclusive_affine_prefix`` the DC blocker uses.
 
+    ``planar=True`` (linear method only): input is planar-complex
+    ``[..., 2, n]`` f32; the gain scan runs on the all-real envelope
+    ``sqrt(re^2+im^2)`` and both planes are scaled by it — numerically
+    identical to the complex form, but no complex value ever enters the
+    associative scan (complex-fed scans wedge the axon remote compiler —
+    r5, ops/shift.py:oscillator_planar).
+
     ``method='scan'``: the literal sequential recurrence (the oracle and
     the pathological-regime form).  Not exactly time-shardable — by
     default sharded runners fail fast; ``approx_time_sharding=R`` opts
@@ -958,11 +978,16 @@ class Agc(StreamOp):
 
     def __init__(self, mu: float, reference: float, initial: float = 1.0,
                  method: str = "linear",
-                 approx_time_sharding: int | None = None):
+                 approx_time_sharding: int | None = None,
+                 planar: bool = False):
         self.mu, self.reference, self.initial = mu, reference, initial
         if method not in ("linear", "scan"):
             raise ValueError(f"unknown agc method {method!r}")
+        if planar and method != "linear":
+            raise ValueError("Agc(planar=True) supports only the linear "
+                             "method (the all-real gain scan)")
         self.method = method
+        self.planar = planar
         if approx_time_sharding is not None and approx_time_sharding < 1:
             raise ValueError("approx_time_sharding must be >= 1")
         self.approx_time_sharding = approx_time_sharding
@@ -970,14 +995,36 @@ class Agc(StreamOp):
                                or approx_time_sharding is not None)
 
     def init_carry(self, n_in, in_dtype, batch_shape=()):
+        # planar: batch_shape ends with the [2] plane axis; the gain is
+        # per-STREAM (shared by both planes), so the carry drops it
+        if self.planar:
+            batch_shape = batch_shape[:-1]
         return jnp.full(batch_shape, self.initial, dtype=jnp.float32)
 
+    @staticmethod
+    def _envelope(x):
+        """|x| for planar-complex blocks [..., 2, n] — all-real."""
+        return jnp.sqrt(x[..., 0, :] ** 2 + x[..., 1, :] ** 2)
+
     def apply(self, carry, x):
+        if self.planar:
+            g, final = scans.agc_gains(self._envelope(x), self.mu,
+                                       self.reference, carry)
+            return final, x * g[..., None, :]
         y, g = scans.agc(x, self.mu, self.reference, carry,
                          method=self.method)
         return g, y
 
     def shard_carry(self, x, axis_name, initial=None):
+        if self.planar:
+            from sdr_tpu.parallel.halo import exclusive_affine_prefix
+            g0 = jnp.asarray(self.initial if initial is None else initial,
+                             jnp.float32)
+            g0 = jnp.broadcast_to(g0, x.shape[:-2])
+            A, B = scans.agc_affine(self._envelope(x), self.mu,
+                                    self.reference)
+            Ap, Bp = exclusive_affine_prefix(A, B, axis_name)
+            return Ap * g0 + Bp
         g0 = jnp.asarray(self.initial if initial is None else initial,
                          jnp.float32)
         g0 = jnp.broadcast_to(g0, x.shape[:-1])
@@ -1066,19 +1113,50 @@ class Mix(StreamOp):
     f32 rounding cannot drift the magnitude over long streams.  Generalizes
     the reference's halfBandUp/quarterBandUp shift vectors (Util.hs:263-285)
     to arbitrary frequencies.
+
+    ``planar=True``: input and output are planar-complex ``[..., 2, n]``
+    f32 (the plane axis is batch to every other op); the LO table, the
+    phasor carry, and the rotation are all (cos, sin) pairs — complex64
+    never exists.  This is the TPU default via ``am_chain``: beyond the
+    layout economics, a large complex elementwise graph feeding the AGC's
+    associative scan wedges the axon remote compiler (r5, see
+    ops/shift.py:oscillator_planar).
     """
 
-    def __init__(self, freq: float):
+    def __init__(self, freq: float, planar: bool = False):
         self.freq = float(freq)
+        self.planar = planar
 
     def out_dtype(self, in_dtype):
-        return jnp.complex64
+        return jnp.float32 if self.planar else jnp.complex64
 
     def init_carry(self, n_in, in_dtype, batch_shape=()):
+        if self.planar:
+            # batch_shape ends with the [2] plane axis — exactly the
+            # (re, im) phasor pair's shape (the FmDemod carry trick)
+            z = jnp.zeros(batch_shape, dtype=jnp.float32)
+            return z.at[..., 0].set(1.0)
         return jnp.ones(batch_shape, dtype=jnp.complex64)
+
+    @staticmethod
+    def _rot(ar, ai, br, bi):
+        """(ar+j*ai) * (br+j*bi) as planar pairs."""
+        return ar * br - ai * bi, ar * bi + ai * br
 
     def apply(self, carry, x):
         n = x.shape[-1]
+        if self.planar:
+            lo = shift.oscillator_planar(n, self.freq)
+            cr, ci = carry[..., 0, None], carry[..., 1, None]
+            pr_, pi_ = self._rot(lo[0], lo[1], cr, ci)
+            yr, yi = self._rot(x[..., 0, :], x[..., 1, :], pr_, pi_)
+            y = jnp.stack([yr, yi], axis=-2)
+            ang = 2 * np.pi * np.mod(np.float64(self.freq) * n, 1.0)
+            nr, ni = self._rot(carry[..., 0], carry[..., 1],
+                               jnp.float32(np.cos(ang)),
+                               jnp.float32(np.sin(ang)))
+            norm = jax.lax.rsqrt(nr * nr + ni * ni)
+            return jnp.stack([nr * norm, ni * norm], axis=-1), y
         lo = shift.oscillator(n, self.freq)
         step = jnp.asarray(np.exp(2j * np.pi * self.freq * n),
                            dtype=jnp.complex64)
@@ -1106,6 +1184,16 @@ class Mix(StreamOp):
             * np.arange(n_shards, dtype=np.float64), 1.0)
         tab = jnp.asarray(
             np.stack([np.cos(ang), np.sin(ang)], axis=-1).astype(np.float32))
+        if self.planar:
+            # [..., 2] planar phasor; x is [..., 2, n] so the carry's
+            # batch dims are x.shape[:-1] with the plane axis LAST
+            pr_, pi_ = tab[idx, 0], tab[idx, 1]
+            if initial is not None:
+                init = jnp.asarray(initial, jnp.float32)
+                pr_, pi_ = self._rot(pr_, pi_,
+                                     init[..., 0], init[..., 1])
+            return jnp.broadcast_to(jnp.stack([pr_, pi_], axis=-1),
+                                    x.shape[:-2] + (2,))
         phasor = jax.lax.complex(tab[idx, 0], tab[idx, 1])
         phasor = jnp.broadcast_to(phasor, x.shape[:-1])
         if initial is not None:
